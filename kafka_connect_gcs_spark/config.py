@@ -1,0 +1,51 @@
+"""Typed engine configuration.
+
+The reference drives ALL behavior from java properties (its "query language",
+SURVEY.md §2.3: ``gcs.bucket``, ``compressed_block_size``, ``max.poll.records``,
+``gcs.page.size`` …, README.md:159-190). This is the Spark-native equivalent: a
+small frozen dataclass passed to the pipeline, with defaults mirroring the
+reference's documented constants where a direct analog exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- table layout -----------------------------------------------------
+    table_path: str = "/tmp/icebox/table"
+    #: target uncompressed bytes per data file before rotation — mirrors the
+    #: sink's ``compressed_block_size`` 64 MiB chunk threshold
+    #: (reference BlockGZIPFileWriter.java:95-105, README.md:171).
+    target_file_bytes: int = 64 * 1024 * 1024
+    #: cap on records per written file (Spark ``maxRecordsPerFile``); the
+    #: rotation analog of the reference's chunk threshold.
+    max_records_per_file: int = 2_000_000
+
+    # --- feed / micro-batch -----------------------------------------------
+    feed_path: str = "/tmp/icebox/feed"
+    checkpoint_path: str = "/tmp/icebox/checkpoint"
+    #: max feed files consumed per micro-batch — mirrors ``max.poll.records``
+    #: (GCSSourceTask.java:126-128) / ``gcs.page.size`` (GCSSourceTask.java:164)
+    #: batch-bounding, but at file granularity like maxFilesPerTrigger.
+    max_files_per_batch: int = 64
+
+    # --- shuffle / skew ----------------------------------------------------
+    #: shuffle parallelism for the merge/dedup range partitioning.
+    shuffle_partitions: int = 32
+    #: number of salt buckets used to split a hot doc_id across tasks —
+    #: generalizes the reference's hash-split assignment
+    #: (GCSSourceTask.java:181-193) into salted repartitioning.
+    salt_buckets: int = 8
+    #: a key is "hot" when its share of a batch exceeds this fraction;
+    #: hot keys get salted, cold keys keep a single bucket.
+    hot_key_fraction: float = 0.01
+
+    # --- payload -----------------------------------------------------------
+    #: token vocabulary bound for validation (exclusive upper bound).
+    vocab_size: int = 50_257
+
+    # --- misc ----------------------------------------------------------------
+    properties: dict = field(default_factory=dict)
