@@ -458,7 +458,13 @@ class IceboxTable:
         """
         rel_dir = f"data/batch={batch_id}"
         out_dir = os.path.join(self.root, rel_dir)
-        schema_id = self.metadata()["current_schema_id"]
+        meta = self.metadata()
+        if batch_id in meta["committed_batch_ids"]:
+            # overwriting would delete files the committed snapshot points to;
+            # a replayed batch must be detected BEFORE writing (the pipeline
+            # does) — refuse here as the last line of defense.
+            raise ValueError(f"batch {batch_id!r} already committed; write refused")
+        schema_id = meta["current_schema_id"]
         writer_df = df
         if range_partition_col is not None and range_partition_col in df.columns:
             n = num_partitions or self.spark.sparkContext.defaultParallelism
