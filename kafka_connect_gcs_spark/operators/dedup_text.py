@@ -1,0 +1,279 @@
+"""Document deduplication for training-data curation.
+
+Five dedup families, all shuffle-conscious:
+
+* exact        — md5-hash groupBy (one shuffle on the 32-byte hash, never
+                 on the document body; min doc_id survives deterministically)
+* minhash LSH  — word-set minhash signatures → banded bucket join →
+                 candidate pairs → exact Jaccard verify. The self-join is on
+                 (band_idx, band_hash) buckets, so cost is Σ bucket² not n².
+* simhash      — 64-bit sign-aggregated hash; near-dups = small Hamming
+                 distance within LSH blocks of the simhash.
+* n-gram Jaccard — exact Jaccard over word n-gram shingle sets, for
+                 verification and small-candidate-set scoring.
+* embedding    — cosine near-dup over `array<float>` embeddings (see
+                 similarity.py for the ANN machinery).
+
+Everything is Catalyst built-ins (codegen); hashes are md5-derived so the
+DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.operators.text import words
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated corpus: one representative (min id) per exact
+    content hash, annotated with the group's ``copies`` count.
+
+    groupBy(md5) with min — partial aggregation map-side; the shuffle
+    carries (hash, winner) pairs only, never document bodies. At 100 TB this
+    is the cheapest possible exact dedup: one hash-shuffle + one join back
+    on the (unique) id, no sort, no self-join on text.
+    """
+    h = F.md5(F.col(text_col)).alias("fp")
+    agg = df.select(h, F.col(id_col)).groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies")
+    )
+    return df.join(agg.select(id_col, "copies"), id_col, "inner")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fp, keep_id, copies) per content group — the dedup decision table."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles & Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (n=1 → word set)."""
+    ws = words(col)
+    if n == 1:
+        return F.array_distinct(ws)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    )
+
+
+def jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    uni = F.size(F.array_union(a, b))
+    return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 1,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold. O(n²) — the brute-force oracle
+    path for small candidate sets; production near-dup goes through
+    :func:`minhash_lsh_pairs` which only scores LSH candidates."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate generation by banded minhash buckets, then exact Jaccard
+    verification of candidates only.
+
+    Scale shape: signatures are tiny (H longs/doc); explode to `bands` rows
+    per doc; the bucket groupBy/self-join shuffles on (band, hash-of-rows)
+    — collision buckets are the only quadratic site, and real corpora make
+    them small. The final verify re-joins shingle sets for candidate pairs
+    only (|candidates| ≪ n²)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sig", _minhash_of_shingles(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bidx * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bidx in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_of_shingles(sh, num_hashes: int):
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda w, i=i: F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"s{i}:"), w)), 1, 15),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+NUM_SIMHASH_BITS = 63  # 63 keeps the packed value in signed-long range
+
+
+def simhash64(col) -> F.Column:
+    """SimHash over the word set (63 bits): bit b is 1 iff Σ_words ±1 > 0,
+    where the sign is bit b of the word's xxhash64. One aggregate pass over
+    words with a 63-lane zip_with accumulator; lanes are then packed via a
+    binary string → ``conv(_, 2, 10)`` (bit positions must be Python ints —
+    Spark's shift functions don't take column shift amounts)."""
+    ws = F.array_distinct(words(col))
+    zero = F.array_repeat(F.lit(0).cast("long"), NUM_SIMHASH_BITS)
+
+    def bits(w):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(NUM_SIMHASH_BITS)
+            ]
+        )
+
+    lanes = F.aggregate(
+        ws, zero, lambda acc, w: F.zip_with(acc, bits(w), lambda x, y: x + y)
+    )
+    bitstr = F.concat_ws(
+        "",
+        F.transform(
+            F.reverse(lanes), lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+    return F.conv(bitstr, 2, 10).cast("long")
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the 64-bit hash into `blocks` chunks
+    (pigeonhole: d ≤ max_hamming ⇒ some chunk equal), join per block, verify
+    Hamming distance — the standard scalable simhash recipe."""
+    chunk = 64 // blocks
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    exploded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sh"), i * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = exploded.select("blk", "key", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = exploded.select("blk", "key", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,152 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, document fingerprinting.
+
+These extend the engine beyond the reference's byte-opaque model (the
+reference never looks inside a payload; we add the operators a 100 TB
+training-data pipeline needs). All hot paths are Catalyst built-ins —
+whole-stage codegen, no Python — so they are also expressible as ANSI SQL
+for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets. Chosen to be disjoint so the
+# argmax is stable; mirrors classic dictionary-based language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec"],
+    "es": ["el", "los", "las", "es", "y", "no", "con"],
+}
+
+#: GPT-2-flavored pretokenizer pieces: contractions, letter runs, digit
+#: runs, punctuation runs (simplified to ASCII classes so Spark's and
+#: DuckDB's regex engines agree).
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def words(col: Column) -> Column:
+    """Lower-cased whitespace tokens with empties removed."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pretokenizer pieces (regexp_count stays JVM-side)."""
+    return F.regexp_count(col, F.lit(BPE_PIECE_RE))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n > 0, F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(col: Column, markers: list[str] | None = None) -> Column:
+    ws = words(col)
+    marker_set = markers or sorted({w for v in LANG_MARKERS.values() for w in v})
+    hits = F.size(
+        F.filter(ws, lambda w: w.isin(marker_set))
+    )
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    ws = words(col)
+    return F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+        / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: long enough, mostly words,
+    sane word lengths — the classic cheap pre-filter before dedup."""
+    n = F.length(col)
+    len_ok = F.least(n / F.lit(200.0), F.lit(1.0))  # saturates at 200 chars
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    mwl = mean_word_len(col)
+    word_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_pen + word_ok) / 3.0, 6)
+
+
+def lang_scores(col: Column) -> list[Column]:
+    ws = words(col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        out.append(
+            F.size(F.array_intersect(F.array_distinct(ws),
+                                     F.array([F.lit(m) for m in markers])))
+            .alias(f"score_{lang}")
+        )
+    return out
+
+
+def lang_guess(col: Column) -> Column:
+    """argmax over marker-set hits; 'und' (undetermined) when all zero.
+    Ties break by language code order (deterministic, oracle-matchable)."""
+    ws = F.array_distinct(words(col))
+    scored = [
+        (
+            lang,
+            F.size(F.array_intersect(ws, F.array([F.lit(m) for m in markers]))),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = scored[0][1]
+    for _, s in scored[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    for lang, s in reversed(scored):  # earlier langs override on tie
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-content fingerprint: md5 (identical in Spark and DuckDB, so the
+    oracle can verify it byte-for-byte)."""
+    return F.md5(col)
+
+
+def minhash_signature_words(col: Column, num_hashes: int = 16) -> Column:
+    """Bottom-sketch fingerprint over the word set: for each of H seeded
+    hash functions take min over words of md5-derived 60-bit ints. Built
+    from engine-portable primitives (md5 + hex→int) so DuckDB can reproduce
+    it exactly — used by both the LSH near-dup path and its oracle."""
+    ws = F.array_distinct(words(col))
+    sigs = [
+        F.array_min(
+            F.transform(
+                ws,
+                lambda w, i=i: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"s{i}:"), w)), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        ws_token_count(c).alias("ws_tokens"),
+        bpe_token_count(c).alias("bpe_tokens"),
+        F.length(c).alias("chars"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_guess"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,218 @@
+"""Training-data curation operators: text stats, exact/near dedup,
+similarity search, multimodal plumbing — verified against DuckDB or exact
+brute-force oracles."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.operators.dedup_text import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from kafka_connect_gcs_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    cosine,
+    neardup_pairs_cosine,
+)
+from kafka_connect_gcs_spark.operators.text import text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_text_stats_match_duckdb(spark, docs, sf_dir):
+    got = {
+        r.doc_id: r
+        for r in text_stats(docs.select("doc_id", "text")).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               w -> w <> '')) AS ws_tokens,
+               length(text) AS chars,
+               md5(text) AS fp
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for doc_id, ws_tokens, chars, fp in want:
+        g = got[doc_id]
+        assert g.ws_tokens == ws_tokens, doc_id
+        assert g.chars == chars
+        assert g.fp == fp  # md5 identical across engines
+    # sanity on derived metrics
+    for g in got.values():
+        assert 0.0 <= g.punct_ratio <= 1.0
+        assert 0.0 <= g.quality <= 1.0
+        assert g.lang_guess in {"en", "de", "fr", "es", "und"}
+        assert g.bpe_tokens >= g.ws_tokens  # pieces at least as many as words
+
+
+def test_dedup_exact_finds_planted_duplicates(spark, docs):
+    base = docs.select("doc_id", "text")
+    clones = base.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    with_dups = base.unionByName(clones)
+    groups = exact_dup_groups(with_dups)
+    assert groups.where(F.col("copies") == 2).count() == 50
+    assert groups.where(F.col("copies") == 1).count() == base.count() - 50
+    # keeper is always the min id (the original)
+    keepers = groups.where(F.col("copies") == 2).select("keep_id")
+    assert keepers.where(F.col("keep_id") >= 100_000).count() == 0
+    kept = dedup_exact(with_dups)
+    assert kept.count() == base.count()  # one survivor per content group
+    assert kept.where(F.col("doc_id") >= 100_000).count() == 0
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    """LSH-verified pairs ⊆ brute-force pairs (precision 1.0 by
+    construction); recall at j≥0.7 with 16 hashes / 8 bands ≥ 0.9."""
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(sample, n=1, threshold=0.7).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            sample, num_hashes=16, bands=8, threshold=0.7
+        ).collect()
+    }
+    assert got <= truth  # exact-verify step ⇒ no false positives
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_simhash_blocking_is_exhaustive_within_guarantee(spark, docs):
+    """Pigeonhole: with 4 blocks any pair at Hamming ≤ 3 shares a block, so
+    block-join recall is exactly 1.0 there. Verify against the n² oracle."""
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 120)
+    sh = sample.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("d"),
+        )
+        .where(F.col("d") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(sample, max_hamming=3, blocks=4).collect()
+    }
+    assert got == truth
+
+
+def test_cosine_matches_duckdb(spark, emb, sf_dir):
+    got = {
+        r.vec_id: r.sim
+        for r in emb.where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("embedding")), 4).alias("sim"),
+        )
+        .collect()
+    }
+    assert all(abs(v - 1.0) < 1e-3 for v in got.values())
+    want = duckdb.sql(
+        f"""
+        SELECT a.vec_id, round(list_cosine_similarity(a.embedding, b.embedding), 4)
+        FROM read_parquet('{sf_dir}/embeddings.parquet') a
+        JOIN read_parquet('{sf_dir}/embeddings.parquet') b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 20
+        """
+    ).fetchall()
+    got2 = {
+        r.vec_id: r.sim
+        for r in emb.alias("a")
+        .join(emb.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .where(F.col("a.vec_id") < 20)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("sim"),
+        )
+        .collect()
+    }
+    for vid, sim in want:
+        assert abs(got2[vid] - sim) <= 1e-3
+
+
+def test_topk_expression_and_pandas_paths_agree(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expr = brute_force_topk(emb, queries, k=5)
+    pd_q = queries.toPandas()
+    fast = brute_force_topk_pandas(emb, pd_q, k=5)
+    e = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in expr.collect()}
+    f = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in fast.collect()}
+    assert set(e) == set(f)
+    for key in e:
+        assert e[key][0] == f[key][0], key
+        assert abs(e[key][1] - f[key][1]) < 1e-4
+    # self-similarity must rank first
+    for (qid, rank), (vid, sim) in e.items():
+        if rank == 1:
+            assert vid == qid and abs(sim - 1.0) < 1e-3
+
+
+def test_neardup_lsh_subset_of_exact(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine(emb, threshold=0.8, exact=True).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_cosine(emb, threshold=0.8, num_planes=4).collect()
+    }
+    assert approx <= exact
+
+
+def test_multimodal_plumbing(spark):
+    from kafka_connect_gcs_spark.operators.multimodal import (
+        FakeCodec,
+        MediaPipeline,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=60)
+    pipe = MediaPipeline()
+    feats = pipe.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r.feature) == FakeCodec.feature_dim for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic across runs
+    again = {r.media_id: tuple(r.feature) for r in pipe.extract_features(media).collect()}
+    assert {r.media_id: tuple(r.feature) for r in rows} == again
+
+    plan = pipe.frame_sample_plan(media, every_ms=1000)
+    one = media.where(F.col("kind") == "video").first()
+    n_frames = plan.where(F.col("media_id") == one.media_id).count()
+    import math
+
+    assert n_frames == math.ceil(one.duration_ms / 1000)
+
+    with pytest.raises(NotImplementedError):
+        FakeCodec().resize([b"x"], 8, 8)
