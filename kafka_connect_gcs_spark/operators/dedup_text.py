@@ -178,20 +178,15 @@ def minhash_lsh_pairs(
 
 
 def _minhash_of_shingles(sh, num_hashes: int):
+    def hasher(i: int):
+        # single-arg lambda only: arity-2 lambdas receive the array index
+        prefix = f"s{i}:"
+        return lambda w: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), w)), 1, 15), 16, 10
+        ).cast("long")
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda w, i=i: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"s{i}:"), w)), 1, 15),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
     )
 
 

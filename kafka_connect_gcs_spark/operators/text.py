@@ -122,17 +122,16 @@ def minhash_signature_words(col: Column, num_hashes: int = 16) -> Column:
     from engine-portable primitives (md5 + hex→int) so DuckDB can reproduce
     it exactly — used by both the LSH near-dup path and its oracle."""
     ws = F.array_distinct(words(col))
-    sigs = [
-        F.array_min(
-            F.transform(
-                ws,
-                lambda w, i=i: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"s{i}:"), w)), 1, 15), 16, 10
-                ).cast("long"),
-            )
-        )
-        for i in range(num_hashes)
-    ]
+
+    def hasher(i: int):
+        # NOTE: single-arg lambda only — a two-parameter lambda makes
+        # F.transform pass the array INDEX as the second arg.
+        prefix = f"s{i}:"
+        return lambda w: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), w)), 1, 15), 16, 10
+        ).cast("long")
+
+    sigs = [F.array_min(F.transform(ws, hasher(i))) for i in range(num_hashes)]
     return F.array(*sigs)
 
 

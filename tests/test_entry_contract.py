@@ -1,0 +1,85 @@
+"""Mimic the driver's correctness gate: run every ``queries()`` entry at
+sf0.01 and compare to its ``oracle_sql()`` in DuckDB — row count, column
+names, and order-insensitive exact values (column-name-sorted, like the
+driver's value hash)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _rows(cols, data):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon(row[i]) for i in idx) for row in data
+    ), [cols[i] for i in idx]
+
+
+ORACLE = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF)
+    spark_rows, spark_cols = _rows(df.columns, [tuple(r) for r in df.collect()])
+    res = duck.execute(ORACLE[name])
+    cols = [d[0] for d in res.description]
+    duck_rows, duck_cols = _rows(cols, res.fetchall())
+    assert spark_cols == duck_cols, f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
+    mism = [
+        (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
+    ]
+    assert not mism, f"{name}: first mismatches {mism[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
