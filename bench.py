@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "cdc": {...events/sec detail...}}
+
+Headline = the north metric: change-events/sec applied end-to-end (synthetic
+binlog → validate → LWW dedup → MERGE into the icebox table, exactly-once
+commits), plus the heavier driver queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       testdata dir    (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         local[N]        (default 32)
+  SPARK_GRAFT_BENCH_EVENTS binlog events   (default 1_000_000)
+  SPARK_GRAFT_BENCH_MODE   all|cdc|queries (default all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
+
+#: the heavier / representative driver queries to time per round
+BENCH_QUERIES = [
+    "cdc_lww_latest",
+    "cdc_merge_full_outer",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "text_token_stats",
+    "dedup_exact_docs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ann_topk_quantized",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kafka-connect-gcs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def bench_cdc(spark, work_dir: str) -> dict:
+    """End-to-end ingest throughput on a deterministic synthetic binlog with
+    hot-key skew, duplicates and out-of-order delivery (feed generation is
+    input prep and excluded from the timed window)."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+    spec = BinlogSpec(
+        num_events=N_EVENTS,
+        num_docs=max(N_EVENTS // 5, 1000),
+        num_partitions=32,
+        seed=42,
+        hot_fraction=0.3,
+        hot_keys=1,
+        duplicate_fraction=0.1,
+        delete_fraction=0.15,
+        shuffle_window=max(N_EVENTS // 100, 1),
+    )
+    feed_dir = os.path.join(work_dir, "feed")
+    write_feed(spark, spec, feed_dir, num_segments=8)
+    cfg = EngineConfig(
+        table_path=os.path.join(work_dir, "table"),
+        feed_path=feed_dir,
+        checkpoint_path=os.path.join(work_dir, "ckpt"),
+        max_files_per_batch=2,  # 4 micro-batches
+        shuffle_partitions=max(CPUS, 8),
+    )
+    pipe = CdcPipeline(spark, cfg)
+    t0 = time.time()
+    lineages = pipe.run_available()
+    secs = time.time() - t0
+    events = sum(ln["events_in"] for ln in lineages)
+    return {
+        "events": events,
+        "seconds": round(secs, 3),
+        "events_per_sec": round(events / secs, 1),
+        "batches": len(lineages),
+        "final_live_rows": lineages[-1]["table_live_rows"] if lineages else 0,
+    }
+
+
+def bench_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    work_dir = tempfile.mkdtemp(prefix="icebox-bench-")
+    result: dict = {
+        "metric": "cdc change-events/sec end-to-end + headline query secs",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "queries": {},
+    }
+    try:
+        total = 0.0
+        if MODE in ("all", "cdc"):
+            cdc = bench_cdc(spark, work_dir)
+            result["cdc"] = cdc
+            result["events_per_sec"] = cdc["events_per_sec"]
+            result["queries"]["cdc_ingest_e2e"] = cdc["seconds"]
+            total += cdc["seconds"]
+        if MODE in ("all", "queries"):
+            qsecs = bench_queries(spark)
+            result["queries"].update(qsecs)
+            total += sum(qsecs.values())
+        result["value"] = round(total, 3)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
