@@ -307,13 +307,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh_neardup(spark, sf_dir):
-    """LSH-bucketed near-dup (candidate recall < 1 by design → rows-only)."""
+    """LSH-bucketed near-dup (candidate recall < 1 by design → rows-only).
+    3-gram shingles: word-set signatures degenerate on tiny-vocab corpora
+    (every doc shares most words → giant buckets → quadratic verify)."""
     from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
-        F.col("doc_id") < 120
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(
+        d, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
     )
-    return minhash_lsh_pairs(d, num_hashes=16, bands=8, threshold=0.5)
 
 
 def q_simhash_neardup(spark, sf_dir):

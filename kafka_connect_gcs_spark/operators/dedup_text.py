@@ -115,6 +115,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate generation by banded minhash buckets, then exact Jaccard
     verification of candidates only.
@@ -129,7 +130,7 @@ def minhash_lsh_pairs(
 
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("sig", _minhash_of_shingles(F.col("sh"), num_hashes))
+    ).withColumn("sig", _minhash_of_shingles(F.col("sh"), num_hashes, portable))
 
     banded = base.select(
         id_col,
@@ -139,14 +140,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bidx).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bidx * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            F.lit(bidx),
+                            *[
+                                F.element_at("sig", bidx * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for bidx in range(bands)
@@ -177,13 +176,23 @@ def minhash_lsh_pairs(
     )
 
 
-def _minhash_of_shingles(sh, num_hashes: int):
-    def hasher(i: int):
-        # single-arg lambda only: arity-2 lambdas receive the array index
-        prefix = f"s{i}:"
-        return lambda w: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), w)), 1, 15), 16, 10
-        ).cast("long")
+def _minhash_of_shingles(sh, num_hashes: int, portable: bool = False):
+    """portable=True → md5-derived (bit-identical in DuckDB, ~50× slower);
+    default xxhash64 (one JVM hash per (seed, shingle), the production path).
+    """
+    if portable:
+
+        def hasher(i: int):
+            # single-arg lambda only: arity-2 lambdas receive the array index
+            prefix = f"s{i}:"
+            return lambda w: F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), w)), 1, 15), 16, 10
+            ).cast("long")
+
+    else:
+
+        def hasher(i: int):
+            return lambda w: F.xxhash64(w, F.lit(i))
 
     return F.array(
         *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]

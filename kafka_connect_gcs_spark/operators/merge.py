@@ -58,6 +58,94 @@ def read_state(table: IceboxTable, version: int | None = None) -> DataFrame:
     return table.read(version).where(~F.col("deleted")).drop("deleted")
 
 
+_PARTITION_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_probe_tokens(spark: SparkSession, nb: int) -> list[int]:
+    """For each shuffle partition i in [0, nb), find an int token t_i with
+    ``pmod(murmur3(t_i), nb) == i``. Lets us do RANGE repartitioning via
+    ``repartition(nb, pid)`` with ZERO sampling passes: bucket b is mapped
+    to the token that lands exactly on partition b, so partition id ==
+    range-bucket id (and AQE coalescing merges only ADJACENT ranges,
+    keeping per-file min/max tight). One tiny Spark job, cached per nb."""
+    if nb in _PARTITION_TOKEN_CACHE:
+        return _PARTITION_TOKEN_CACHE[nb]
+    probe = (
+        spark.range(0, max(nb * 64, 1024))
+        .select(
+            F.col("id").cast("int").alias("t"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(nb)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("t").alias("t"))
+        .collect()
+    )
+    by_p = {r.p: r.t for r in probe}
+    tokens = [by_p[i] for i in range(nb)]  # KeyError ⇒ widen the probe range
+    _PARTITION_TOKEN_CACHE[nb] = tokens
+    return tokens
+
+
+def range_bounds_from_sample(
+    keys: DataFrame, col: str, nb: int, per_bucket: int = 64
+) -> list[str]:
+    """Upper bounds (exclusive of last) for nb range buckets of a string key
+    column, from a bounded sample of the (narrow) key DataFrame — the
+    driver-side analog of RangePartitioner's reservoir sampling, but run on
+    skinny data we were scanning anyway."""
+    n = nb * per_bucket
+    # deterministic pseudo-random sample: top-n by key hash (planned as
+    # TakeOrderedAndProject — no full shuffle, representative regardless of
+    # the input's physical clustering, stable across replays)
+    sample = [
+        r[0]
+        for r in keys.select(col)
+        .orderBy(F.xxhash64(F.col(col)))
+        .limit(n)
+        .collect()
+    ]
+    if not sample:
+        return []
+    sample.sort()
+    bounds = []
+    for i in range(1, nb):
+        bounds.append(sample[min(i * len(sample) // nb, len(sample) - 1)])
+    # dedupe while preserving order (few distinct keys → fewer buckets)
+    seen: set = set()
+    out = []
+    for b in bounds:
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+    return out
+
+
+def range_repartition_no_sampling(
+    df: DataFrame,
+    col: str,
+    bounds: list[str],
+    sort_cols: list[str],
+) -> DataFrame:
+    """Range-cluster ``df`` by ``col`` using precomputed bounds — the effect
+    of ``repartitionByRange`` WITHOUT its boundary-sampling pass (which
+    re-executes the child plan; with an expensive upstream join that doubles
+    the batch cost — measured). Bucket choice is a chained-comparison
+    expression; bucket→partition routing uses murmur3 probe tokens."""
+    nb = len(bounds) + 1
+    spark = df.sparkSession
+    tokens = _partition_probe_tokens(spark, nb)
+    pid = F.lit(tokens[0])
+    for i, b in enumerate(bounds):
+        pid = F.when(F.col(col) > F.lit(b), F.lit(tokens[i + 1])).otherwise(pid)
+    out = (
+        df.withColumn("_pid", pid)
+        .repartition(nb, F.col("_pid"))
+        .sortWithinPartitions(*sort_cols)
+        .drop("_pid")
+    )
+    return out
+
+
 def prune_affected_files(
     spark: SparkSession,
     manifests: list[ManifestEntry],
@@ -161,12 +249,18 @@ def merge_into(
     changes: DataFrame,
     batch_id: str,
     config: EngineConfig | None = None,
+    lineage_rows: list | None = None,
 ) -> dict:
     """End-to-end exactly-once MERGE of a raw change batch.
 
     Returns the lineage/metrics dict that was committed with the snapshot
     (per-partition offsets, row counters, events/sec — A19/A29 analogs).
     Re-delivery of an already-committed batch_id is a committed no-op.
+
+    ``lineage_rows``: optional precomputed per-partition Rows with fields
+    (part, min_offset, max_offset, events) — lets the caller fuse lineage
+    accounting into a scan it already does (the pipeline fuses it with
+    validation) instead of paying an extra pass here.
     """
     cfg = config or EngineConfig()
     spark = table.spark
@@ -176,55 +270,106 @@ def merge_into(
     t0 = time.time()
     # --- per-partition lineage over the raw (pre-dedup) batch --------------
     has_part = "part" in changes.columns
-    lineage_rows = (
-        changes.groupBy("part" if has_part else F.lit(0).alias("part"))
-        .agg(
-            F.min("offset").alias("min_offset"),
-            F.max("offset").alias("max_offset"),
-            F.count(F.lit(1)).alias("events"),
+    if lineage_rows is None:
+        lineage_rows = (
+            changes.groupBy("part" if has_part else F.lit(0).alias("part"))
+            .agg(
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+                F.count(F.lit(1)).alias("events"),
+            )
+            .collect()
         )
-        .collect()
-    )
     events_in = sum(r.events for r in lineage_rows)
 
-    # --- dedup (skew-absorbing) + affected-file pruning ----------------------
-    deduped = lww_dedup(changes.drop("part", "seg") if has_part else changes)
+    # PERF MODEL (measured on local[32], 275k-event batches):
+    #  * Spark's columnar .persist() of token-array rows costs ~3× more than
+    #    recomputing the dedup — never cache wide array data here.
+    #  * repartitionByRange's sampling pass re-executes the child (the whole
+    #    merge join) — use the sampling-free range partitioner instead.
+    #  * Counters/pruning/bounds come from a NARROW pass (keys+offsets+ops
+    #    only; parquet column pruning keeps token arrays on disk). The heavy
+    #    payload path (dedup with arrays → join → write) executes exactly once.
+    from pyspark import StorageLevel
+
+    body = changes.drop("part", "seg") if has_part else changes
+
+    # --- narrow pass: skinny LWW dedup → pruning + counters + range bounds --
+    ord_cols = [F.col("offset")]
+    if "delivery_seq" in body.columns:
+        ord_cols.append(F.col("delivery_seq"))
+    skinny = body.select(
+        "doc_id",
+        "op",
+        "offset",
+        *(["delivery_seq"] if "delivery_seq" in body.columns else []),
+    )
+    sk_win = F.max_by(
+        F.struct(F.col("op"), F.col("offset")), F.struct(*ord_cols)
+    )
+    sk_dedup = (
+        skinny.groupBy("doc_id")
+        .agg(sk_win.alias("_w"))
+        .select(
+            "doc_id",
+            F.col("_w.op").alias("_c_op"),
+            F.col("_w.offset").alias("_c_offset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # narrow rows: cheap to cache
+    )
+
     snap = table.snapshot()
     affected = set(
-        prune_affected_files(spark, list(snap.manifests), deduped.select("doc_id"))
+        prune_affected_files(spark, list(snap.manifests), sk_dedup.select("doc_id"))
     )
     keep = [m for m in snap.manifests if m.path not in affected]
     touched = [m for m in snap.manifests if m.path in affected]
 
-    target = table._read_entries(
-        table.metadata(), touched, table.schema()
+    meta = table.metadata()
+    schema = table.schema()
+    # column-pruned target read: only (doc_id, last_offset, deleted) hit disk
+    target_skinny = table._read_entries(meta, touched, schema).select(
+        "doc_id",
+        F.col("last_offset").alias("_t_offset"),
+        F.col("deleted").alias("_t_deleted"),
     )
-    merged = apply_changes(target, deduped)
-
-    # Persist the merged batch: the write path range-partitions by doc_id,
-    # and RangePartitioner's boundary *sampling pass* executes the child plan
-    # a second time — an Observation here would double-count (verified), and
-    # without a cache the expensive join itself would run twice. One
-    # materialization serves the counter agg, the sampling pass, and the
-    # write. (The reference gets stats for free from its CountingOutputStream,
-    # BlockGZIPFileWriter.java:63-91 — this cache is our single-pass analog.)
-    from pyspark import StorageLevel
-
-    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
-    crow = merged.agg(
+    sj = target_skinny.join(sk_dedup, "doc_id", "full_outer")
+    change_wins = F.col("_c_op").isNotNull() & (
+        F.col("_t_offset").isNull() | (F.col("_c_offset") >= F.col("_t_offset"))
+    )
+    was_live = F.col("_t_offset").isNotNull() & ~F.coalesce(
+        F.col("_t_deleted"), F.lit(False)
+    )
+    is_delete = change_wins & (F.col("_c_op") == "D")
+    crow = sj.agg(
         F.count(F.lit(1)).alias("rows_out"),
-        F.sum(F.col("_ins").cast("long")).alias("inserted"),
-        F.sum(F.col("_upd").cast("long")).alias("updated"),
-        F.sum(F.col("_del").cast("long")).alias("deleted"),
-        F.sum(F.col("_stale").cast("long")).alias("stale_ignored"),
-        F.sum((~F.col("deleted")).cast("long")).alias("live_rows"),
+        F.sum((change_wins & (F.col("_c_op") != "D") & ~was_live).cast("long")).alias("inserted"),
+        F.sum((change_wins & (F.col("_c_op") != "D") & was_live).cast("long")).alias("updated"),
+        F.sum((is_delete & was_live).cast("long")).alias("deleted"),
+        F.sum(
+            (F.col("_t_offset").isNotNull() & ~change_wins & F.col("_c_op").isNotNull()).cast("long")
+        ).alias("stale_ignored"),
+        F.sum(
+            F.when(change_wins, (F.col("_c_op") != "D").cast("long"))
+            .otherwise(was_live.cast("long"))
+        ).alias("live_rows"),
     ).first()
     counters = crow.asDict()
-    out = merged.drop("_ins", "_upd", "_del", "_stale")
-    new_manifests = table.write_data_files(
-        out, batch_id, num_partitions=cfg.shuffle_partitions
+    bounds = range_bounds_from_sample(
+        sk_dedup, "doc_id", cfg.shuffle_partitions
     )
-    merged.unpersist()
+    sk_dedup.unpersist()
+
+    # --- heavy pass (exactly once): full dedup → join → range write ---------
+    deduped = lww_dedup(body)
+    target = table._read_entries(meta, touched, schema)
+    merged = apply_changes(target, deduped).drop("_ins", "_upd", "_del", "_stale")
+    out = range_repartition_no_sampling(
+        merged, "doc_id", bounds, sort_cols=["doc_id"]
+    )
+    new_manifests = table.write_data_files(
+        out, batch_id, range_partition_col=None, sort_within=()
+    )
 
     # exact per-file live counts for the new files: a column-pruned scan of
     # one boolean column over just-written data (batch-sized, not table-sized)

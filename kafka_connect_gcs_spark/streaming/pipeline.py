@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from kafka_connect_gcs_spark.config import EngineConfig
 from kafka_connect_gcs_spark.icebox.table import IceboxTable
 from kafka_connect_gcs_spark.operators.merge import CDC_TABLE_FIELDS, merge_into
-from kafka_connect_gcs_spark.operators.validate import split_valid
+from kafka_connect_gcs_spark.operators.validate import split_valid, valid_expr
 
 
 def _list_segments(feed_dir: str) -> list[str]:
@@ -104,9 +104,30 @@ class CdcPipeline:
         batch_id = f"{segments[0]}..{segments[-1]}"
         paths = [os.path.join(self.cfg.feed_path, s) for s in segments]
         raw = self.spark.read.parquet(*paths)
-        valid, quarantined = split_valid(raw, self.cfg.vocab_size)
-        n_bad = quarantined.count()
-        lineage = merge_into(self.table, valid, batch_id, self.cfg)
+        # fuse validation flagging + per-partition lineage into ONE scan:
+        # (part, min/max offset, events) over valid rows + quarantine count
+        ok = F.when(F.col("op") == "D", F.lit(True)).otherwise(
+            valid_expr(self.cfg.vocab_size)
+        )
+        flagged = raw.withColumn("_ok", ok)
+        part_col = "part" if "part" in raw.columns else None
+        stats = (
+            flagged.groupBy(
+                F.col(part_col) if part_col else F.lit(0).alias("part")
+            )
+            .agg(
+                F.min(F.when(F.col("_ok"), F.col("offset"))).alias("min_offset"),
+                F.max(F.when(F.col("_ok"), F.col("offset"))).alias("max_offset"),
+                F.sum(F.col("_ok").cast("long")).alias("events"),
+                F.sum((~F.col("_ok")).cast("long")).alias("bad"),
+            )
+            .collect()
+        )
+        n_bad = int(sum(r.bad for r in stats))
+        valid = flagged.where(F.col("_ok")).drop("_ok")
+        lineage = merge_into(
+            self.table, valid, batch_id, self.cfg, lineage_rows=stats
+        )
         lineage["segments"] = segments
         lineage["quarantined"] = n_bad
         lineage["ts"] = time.time()
