@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scaling-efficiency experiment (north_rule evidence).
+
+Runs the identical CDC ingest job (same deterministic input spec) at two
+parallelism levels — local[8] (N) and local[32] (4N) — in separate JVMs,
+and reports events/sec at both plus efficiency = (T_N / T_4N) / 4.
+Results land in BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [--events 2000000] [--runs 2]
+(multiple runs per level: the best run is used, to damp noisy-neighbor
+variance on shared hosts)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_once(cpus: int, events: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_MODE="cdc",
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_EVENTS=str(events),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    results: dict[int, list[dict]] = {args.n: [], args.n4: []}
+    for r in range(args.runs):
+        for cpus in (args.n4, args.n):  # interleave to spread host noise
+            res = run_once(cpus, args.events)
+            results[cpus].append(res["cdc"])
+            print(
+                f"run {r} local[{cpus}]: {res['cdc']['seconds']}s "
+                f"{res['cdc']['events_per_sec']} ev/s",
+                flush=True,
+            )
+
+    best = {c: min(rs, key=lambda x: x["seconds"]) for c, rs in results.items()}
+    t_n, t_4n = best[args.n]["seconds"], best[args.n4]["seconds"]
+    speedup = t_n / t_4n
+    eff = speedup / (args.n4 / args.n)
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — CDC ingest throughput & scaling efficiency
+
+North rule: change-events/sec applied end-to-end (synthetic binlog with
+hot-key skew, 10% duplicate delivery, out-of-order windows → validate →
+LWW dedup → MERGE upsert into the icebox table, exactly-once commits),
+with throughput scaling efficiency >= 0.8 between N and 4N parallelism.
+No multi-node cluster exists in this sandbox, so the two-cluster-size
+criterion is evidenced at two local parallelism levels on identical input
+(same seed, {args.events:,} events, same segment feed), one JVM each.
+
+| parallelism | wall sec (best of {args.runs}) | events/sec |
+|---|---|---|
+| local[{args.n}] (N) | {t_n} | {best[args.n]['events_per_sec']} |
+| local[{args.n4}] (4N) | {t_4n} | {best[args.n4]['events_per_sec']} |
+
+- speedup N→4N: **{speedup:.2f}×** (ideal {args.n4 // args.n}×)
+- **scaling efficiency: {eff:.3f}** (target ≥ 0.8)
+- all runs: {json.dumps({str(k): v for k, v in results.items()})}
+- date: {time.strftime('%Y-%m-%d %H:%M:%S')}
+
+Why it scales: the pipeline has one narrow shuffle (skinny dedup/counters)
+and one heavy shuffle (payload dedup + merge join + range-clustered write)
+per micro-batch; no driver-side data paths, no collect of row data, hot
+keys collapsed map-side by the max_by partial aggregation before the
+exchange. Fixed per-batch costs (snapshot commit, manifest stats, Spark
+job scheduling) are independent of data volume, so efficiency rises with
+batch size.
+"""
+        )
+    print(f"efficiency {eff:.3f} -> BENCH/BASELINE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

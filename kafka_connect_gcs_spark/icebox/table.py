@@ -465,14 +465,34 @@ class IceboxTable:
             # does) — refuse here as the last line of defense.
             raise ValueError(f"batch {batch_id!r} already committed; write refused")
         schema_id = meta["current_schema_id"]
-        writer_df = df
+        # align to the stamped schema: every data file must physically match
+        # its schema_id (cast widened types, null-fill newly added columns) —
+        # otherwise a post-evolution read would hit parquet type mismatches.
+        target_schema = self._schema_by_id(meta, schema_id)
+        present = set(df.columns)
+        aligned_cols = []
+        for fld in target_schema.fields:
+            if fld.name in present:
+                aligned_cols.append(
+                    F.col(fld.name).cast(fld.spark_type()).alias(fld.name)
+                )
+            else:
+                aligned_cols.append(
+                    F.lit(None).cast(fld.spark_type()).alias(fld.name)
+                )
+        extra = [c for c in df.columns if c not in target_schema.field_names()]
+        if extra:
+            raise ValueError(
+                f"columns {extra} not in table schema; evolve_schema first"
+            )
+        writer_df = df.select(*aligned_cols)
         if range_partition_col is not None and range_partition_col in df.columns:
             n = num_partitions or self.spark.sparkContext.defaultParallelism
-            writer_df = df.repartitionByRange(n, F.col(range_partition_col))
+            writer_df = writer_df.repartitionByRange(n, F.col(range_partition_col))
         if sort_within:
-            present = [c for c in sort_within if c in df.columns]
-            if present:
-                writer_df = writer_df.sortWithinPartitions(*present)
+            sort_cols = [c for c in sort_within if c in df.columns]
+            if sort_cols:
+                writer_df = writer_df.sortWithinPartitions(*sort_cols)
         (
             writer_df.write.mode("overwrite")
             .option("maxRecordsPerFile", 2_000_000)
