@@ -31,6 +31,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(CPUS, 8))))
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 #: the heavier / representative driver queries to time per round
 BENCH_QUERIES = [
@@ -47,15 +49,27 @@ BENCH_QUERIES = [
 ]
 
 
+def read_cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — lets each result be
+    annotated with hypervisor steal, since this host shows noise episodes
+    that swing identical runs 2-4×."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    total = sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0
+    return total, steal
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("kafka-connect-gcs-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
@@ -89,7 +103,7 @@ def bench_cdc(spark, work_dir: str) -> dict:
         feed_path=feed_dir,
         checkpoint_path=os.path.join(work_dir, "ckpt"),
         max_files_per_batch=2,  # 4 micro-batches
-        shuffle_partitions=max(CPUS, 8),
+        shuffle_partitions=SHUFFLE,
     )
     pipe = CdcPipeline(spark, cfg)
     t0 = time.time()
@@ -131,6 +145,7 @@ def main() -> None:
         "cpus": CPUS,
         "queries": {},
     }
+    t_before, s_before = read_cpu_stat()
     try:
         total = 0.0
         if MODE in ("all", "cdc"):
@@ -144,6 +159,9 @@ def main() -> None:
             result["queries"].update(qsecs)
             total += sum(qsecs.values())
         result["value"] = round(total, 3)
+        t_after, s_after = read_cpu_stat()
+        dt = max(t_after - t_before, 1)
+        result["host_steal_pct"] = round(100.0 * (s_after - s_before) / dt, 2)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
         spark.stop()

@@ -51,10 +51,12 @@ def main() -> None:
     for r in range(args.runs):
         for cpus in (args.n4, args.n):  # interleave to spread host noise
             res = run_once(cpus, args.events)
-            results[cpus].append(res["cdc"])
+            rec = dict(res["cdc"])
+            rec["host_steal_pct"] = res.get("host_steal_pct")
+            results[cpus].append(rec)
             print(
-                f"run {r} local[{cpus}]: {res['cdc']['seconds']}s "
-                f"{res['cdc']['events_per_sec']} ev/s",
+                f"run {r} local[{cpus}]: {rec['seconds']}s "
+                f"{rec['events_per_sec']} ev/s steal={rec['host_steal_pct']}%",
                 flush=True,
             )
 

@@ -33,8 +33,14 @@ class EngineConfig:
     max_files_per_batch: int = 64
 
     # --- shuffle / skew ----------------------------------------------------
-    #: shuffle parallelism for the merge/dedup range partitioning.
+    #: UPPER BOUND on merge-write fan-out; the actual partition count is
+    #: sized from data volume (≈ output_bytes / target_file_bytes, min 4) —
+    #: core-count-sized shuffles on small batches measured 2.5× slower than
+    #: volume-sized ones (task overhead + small parquet files).
     shuffle_partitions: int = 32
+    #: rough bytes/row used to size the write fan-out before writing
+    #: (tokens avg ~72 int32 + strings ≈ 350-500 B).
+    estimated_row_bytes: int = 450
     #: number of salt buckets used to split a hot doc_id across tasks —
     #: generalizes the reference's hash-split assignment
     #: (GCSSourceTask.java:181-193) into salted repartitioning.

@@ -515,12 +515,17 @@ class IceboxTable:
                 continue
             stats = {"doc_id": [None, None], "offset": [None, None]}
             schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            # `deleted` uses null-as-live encoding (merge.py) → the footer's
+            # null_count IS the live-row count, no counting job needed
+            num_live = None
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     cname = schema_names[ci]
+                    s = md.row_group(rg).column(ci).statistics
+                    if cname == "deleted" and s is not None:
+                        num_live = (num_live or 0) + s.null_count
                     if cname not in stats:
                         continue
-                    s = md.row_group(rg).column(ci).statistics
                     if s is None or not s.has_min_max:
                         continue
                     lo, hi = stats[cname]
@@ -542,6 +547,7 @@ class IceboxTable:
                     max_doc_id=stats["doc_id"][1],
                     min_offset=stats["offset"][0],
                     max_offset=stats["offset"][1],
+                    num_live=num_live,
                 )
             )
         return entries

