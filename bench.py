@@ -33,6 +33,10 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
 SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(CPUS, 8))))
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+FILES_PER_BATCH = int(os.environ.get("SPARK_GRAFT_FILES_PER_BATCH", "2"))
+#: when set, the generated feed is cached here across bench invocations
+#: (keyed by event count) so repeated scaling runs skip regeneration
+FEED_CACHE = os.environ.get("SPARK_GRAFT_FEED_CACHE", "")
 
 #: the heavier / representative driver queries to time per round
 BENCH_QUERIES = [
@@ -70,6 +74,10 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(SHUFFLE))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", DRIVER_MEM)
+        # a micro-batch reads only a couple of segment files; without a
+        # smaller split size the scan is 1-2 map tasks no matter how many
+        # cores exist (measured parallelism ceiling)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
@@ -96,14 +104,22 @@ def bench_cdc(spark, work_dir: str) -> dict:
         delete_fraction=0.15,
         shuffle_window=max(N_EVENTS // 100, 1),
     )
-    feed_dir = os.path.join(work_dir, "feed")
-    write_feed(spark, spec, feed_dir, num_segments=8)
+    if FEED_CACHE:
+        feed_dir = os.path.join(FEED_CACHE, f"feed-{N_EVENTS}-{spec.seed}")
+        marker = os.path.join(feed_dir, "_DONE")
+        if not os.path.exists(marker):
+            write_feed(spark, spec, feed_dir, num_segments=8)
+            open(marker, "w").close()
+    else:
+        feed_dir = os.path.join(work_dir, "feed")
+        write_feed(spark, spec, feed_dir, num_segments=8)
     cfg = EngineConfig(
         table_path=os.path.join(work_dir, "table"),
         feed_path=feed_dir,
         checkpoint_path=os.path.join(work_dir, "ckpt"),
-        max_files_per_batch=2,  # 4 micro-batches
+        max_files_per_batch=FILES_PER_BATCH,
         shuffle_partitions=SHUFFLE,
+        target_file_bytes=int(os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", "32")) * 1024 * 1024,
     )
     pipe = CdcPipeline(spark, cfg)
     t0 = time.time()

@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the optimizer work the reference hand-codes
+(SURVEY §4) must actually happen in our plans — pushdown, pruning,
+broadcast, map-side aggregation, no row-at-a-time Python."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.plans.inspect import (
+    codegen_stage_count,
+    explain_str,
+    has_broadcast_join,
+    has_partial_aggregate,
+    num_python_udf_nodes,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") < 24)
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_manifest_pruned_cdc_read_prunes_columns(spark, tmp_path):
+    """Narrow merge pass must read only 3 columns from table files even
+    through the schema-reconciliation projection."""
+    from kafka_connect_gcs_spark.icebox.table import IceboxTable
+    from kafka_connect_gcs_spark.operators.merge import CDC_TABLE_FIELDS
+
+    t = IceboxTable.create(spark, str(tmp_path / "t"), CDC_TABLE_FIELDS)
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2, "web", 5, None)],
+        "doc_id string, tokens array<int>, n_tok int, source string,"
+        " last_offset long, deleted boolean",
+    )
+    m = t.write_data_files(df, "b1")
+    t.commit("b1", "append", (), m)
+    narrow = t.read().select("doc_id", "last_offset", "deleted")
+    cols = read_schema_columns(narrow)
+    assert cols and set(cols[0]) == {"doc_id", "last_offset", "deleted"}, cols
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.q_join_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_lww_dedup_aggregates_partially_mapside(spark, sf_dir):
+    """The skew defense: dedup must plan as partial→final aggregation so a
+    hot key collapses before the shuffle (A26 as distributed agg)."""
+    from kafka_connect_gcs_spark.operators.dedup import lww_dedup
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, generate_changes
+
+    ch = generate_changes(spark, BinlogSpec(num_events=1000, num_docs=100))
+    plan = explain_str(lww_dedup(ch))
+    assert "partial_max_by" in plan, plan
+
+
+def test_no_row_at_a_time_python_in_hot_paths(spark, sf_dir):
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        assert num_python_udf_nodes(df) == 0, f"{name} has BatchEvalPython"
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.q_agg_pricing_summary(spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_validation_expr_stays_in_codegen(spark):
+    from kafka_connect_gcs_spark.operators.validate import valid_expr
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, generate_changes
+
+    ch = generate_changes(spark, BinlogSpec(num_events=1000, num_docs=100))
+    df = ch.where(valid_expr())
+    assert num_python_udf_nodes(df) == 0
+    assert codegen_stage_count(df) >= 1
