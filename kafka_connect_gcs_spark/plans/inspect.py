@@ -58,14 +58,17 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of whole-stage-codegen subtrees. Uses explain mode 'codegen':
-    with AQE enabled the simple/formatted modes hide codegen markers until
-    the plan has executed."""
-    txt = explain_str(df, "codegen")
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
-    if m:
-        return int(m.group(1))
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", txt)))
+    """Number of whole-stage-codegen stages. With AQE enabled the markers
+    only exist in the FINAL (executed) plan, so execute once through the
+    noop sink (no collect, no output) and read the formatted plan."""
+    df.write.format("noop").mode("overwrite").save()
+    txt = explain_str(df)
+    ids = set(re.findall(r"codegen id : (\d+)", txt))
+    if ids:
+        return len(ids)
+    txt2 = explain_str(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt2)
+    return int(m.group(1)) if m else 0
 
 
 def num_python_udf_nodes(df: DataFrame) -> int:
