@@ -78,6 +78,10 @@ def build_spark(cpus: int):
         # smaller split size the scan is 1-2 map tasks no matter how many
         # cores exist (measured parallelism ceiling)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")

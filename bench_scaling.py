@@ -28,7 +28,12 @@ def run_once(cpus: int, events: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_EVENTS=str(events),
         SPARK_GRAFT_FILES_PER_BATCH="4",  # 2 big batches: compute >> fixed cost
-        SPARK_GRAFT_FEED_CACHE="/tmp/icebox-feed-cache",
+        # tmpfs for feed/table/shuffle: the experiment measures ENGINE
+        # scaling; on this host the ext4 disk (~hundreds of MB/s shared with
+        # neighbors) otherwise becomes the common bottleneck at every level
+        SPARK_GRAFT_FEED_CACHE="/dev/shm/icebox-feed-cache",
+        SPARK_GRAFT_LOCAL_DIR="/dev/shm/spark-local",
+        TMPDIR="/dev/shm",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],

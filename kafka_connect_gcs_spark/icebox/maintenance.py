@@ -1,0 +1,142 @@
+"""Table maintenance: small-file compaction and tombstone expiry.
+
+The reference bounds file sizes at write time (chunk rotation,
+BlockGZIPFileWriter.java:191-200) but never rewrites; a long-running CDC
+table needs both of these or micro-batch COW slowly shreds it:
+
+* :func:`compact` — bin-pack adjacent small data files (manifests are
+  sorted by min_doc_id, so adjacency = contiguous key ranges) into
+  target-size files. Commit is a normal snapshot (batch_id
+  ``compact-{v}``), so time travel to pre-compaction versions still works
+  and a replayed compaction is a no-op.
+* :func:`expire_tombstones` — tombstones exist to carry the LWW watermark
+  across batches (merge.py); once the feed's per-partition offsets have all
+  advanced past a tombstone's last_offset + the out-of-order horizon, no
+  stale pre-delete update can still arrive, and the tombstone can be
+  physically dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.icebox.table import IceboxTable, ManifestEntry
+
+
+def plan_compaction(
+    entries: list[ManifestEntry],
+    target_bytes: int,
+    min_group: int = 2,
+) -> list[list[ManifestEntry]]:
+    """Group adjacent (in key order) sub-target files into compaction bins."""
+    ordered = sorted(entries, key=lambda m: (m.min_doc_id or "", m.path))
+    groups: list[list[ManifestEntry]] = []
+    cur: list[ManifestEntry] = []
+    cur_bytes = 0
+    for m in ordered:
+        if m.num_bytes >= target_bytes:
+            if len(cur) >= min_group:
+                groups.append(cur)
+            cur, cur_bytes = [], 0
+            continue
+        cur.append(m)
+        cur_bytes += m.num_bytes
+        if cur_bytes >= target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if len(cur) >= min_group:
+        groups.append(cur)
+    return groups
+
+
+def compact(
+    table: IceboxTable,
+    target_bytes: int = 64 * 1024 * 1024,
+    sort_col: str = "doc_id",
+) -> dict:
+    """Rewrite groups of small adjacent files into target-size files.
+    Pure metadata + batch-sized rewrites; untouched files are kept as-is."""
+    snap = table.snapshot()
+    groups = plan_compaction(list(snap.manifests), target_bytes)
+    if not groups:
+        return {"compacted_files": 0, "groups": 0, "skipped": True}
+    to_rewrite = [m for g in groups for m in g]
+    rewrite_set = {m.path for m in to_rewrite}
+    keep = [m for m in snap.manifests if m.path not in rewrite_set]
+    df = table._read_entries(table.metadata(), to_rewrite, table.schema())
+    batch_id = f"compact-v{table.current_version()}"
+    if batch_id in table.committed_batch_ids():
+        return {"compacted_files": 0, "groups": 0, "skipped": True}
+    new_manifests = table.write_data_files(
+        df,
+        batch_id,
+        sort_within=(sort_col,),
+        range_partition_col=sort_col,
+        num_partitions=max(len(groups), 1),
+    )
+    lineage = {
+        "compacted_files": len(to_rewrite),
+        "groups": len(groups),
+        "files_written": len(new_manifests),
+        "bytes_in": sum(m.num_bytes for m in to_rewrite),
+        "bytes_out": sum(m.num_bytes for m in new_manifests),
+    }
+    table.commit(
+        batch_id=batch_id,
+        operation="compact",
+        keep_manifests=keep,
+        new_manifests=new_manifests,
+        lineage=lineage,
+    )
+    return lineage
+
+
+def expire_tombstones(
+    table: IceboxTable,
+    safe_offset: int,
+    sort_col: str = "doc_id",
+) -> dict:
+    """Drop tombstones with ``last_offset < safe_offset``.
+
+    ``safe_offset`` must be ≤ min over feed partitions of (checkpointed
+    offset) − out-of-order horizon: past it, no stale pre-delete update can
+    still be delivered, so losing the watermark is safe. Only files that
+    actually contain expirable tombstones are rewritten (manifest num_live
+    vs num_records tells us without reading data)."""
+    snap = table.snapshot()
+    affected = [
+        m
+        for m in snap.manifests
+        if (m.num_live is not None and m.num_live < m.num_records)
+        and (m.min_offset is None or m.min_offset < safe_offset)
+    ]
+    if not affected:
+        return {"expired": 0, "files_rewritten": 0, "skipped": True}
+    keep = [m for m in snap.manifests if m.path not in {a.path for a in affected}]
+    df = table._read_entries(table.metadata(), affected, table.schema())
+    # tombstones at/after safe_offset stay; live rows always stay
+    kept_rows = df.where(
+        (~F.coalesce(F.col("deleted"), F.lit(False)))
+        | (F.col("last_offset") >= F.lit(safe_offset))
+    )
+    batch_id = f"expire-v{table.current_version()}-{safe_offset}"
+    if batch_id in table.committed_batch_ids():
+        return {"expired": 0, "files_rewritten": 0, "skipped": True}
+    new_manifests = table.write_data_files(
+        kept_rows, batch_id, sort_within=(sort_col,), range_partition_col=sort_col
+    )
+    rows_before = sum(m.num_records for m in affected)
+    rows_after = sum(m.num_records for m in new_manifests)
+    lineage = {
+        "expired": rows_before - rows_after,
+        "files_rewritten": len(affected),
+        "safe_offset": safe_offset,
+    }
+    table.commit(
+        batch_id=batch_id,
+        operation="expire-tombstones",
+        keep_manifests=keep,
+        new_manifests=new_manifests,
+        lineage=lineage,
+    )
+    return lineage

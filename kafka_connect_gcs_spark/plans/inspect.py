@@ -61,7 +61,8 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen stages. With AQE enabled the markers
     only exist in the FINAL (executed) plan, so execute once through the
     noop sink (no collect, no output) and read the formatted plan."""
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()  # a write command would spawn its own queryExecution;
+    # collect executes THIS df's qe so its final AQE plan carries the ids
     txt = explain_str(df)
     ids = set(re.findall(r"codegen id : (\d+)", txt))
     if ids:
