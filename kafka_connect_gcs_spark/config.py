@@ -53,5 +53,23 @@ class EngineConfig:
     #: token vocabulary bound for validation (exclusive upper bound).
     vocab_size: int = 50_257
 
+    # --- routing / filtering (reference A4/A24 analogs) ---------------------
+    #: feed partitions to consume; None = all — the reference's partition-set
+    #: membership filter (GCSFilesReader.java:86-109).
+    parts_allow: tuple | None = None
+    #: source-label remap applied on ingest — the reference's targetTopic.*
+    #: routing (GCSSourceTask.java:286-288), e.g. {"web": "web-archive"}.
+    source_remap: dict | None = None
+
+    # --- poll loop (reference A28 analogs) -----------------------------------
+    #: sleep between idle re-lists, seconds (gcs.new.record.poll.interval=30s,
+    #: GCSSourceTask.java:39,129-131 — scaled down for tests).
+    poll_interval_s: float = 5.0
+    #: backoff after a retryable batch failure (gcs.error.backoff=1s,
+    #: GCSSourceTask.java:40,132-134).
+    error_backoff_s: float = 1.0
+    #: max consecutive failures before giving up.
+    max_retries: int = 3
+
     # --- misc ----------------------------------------------------------------
     properties: dict = field(default_factory=dict)

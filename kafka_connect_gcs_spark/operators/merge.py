@@ -263,6 +263,7 @@ def merge_into(
     config: EngineConfig | None = None,
     lineage_rows: list | None = None,
     bounds_hint: list[str] | None = None,
+    narrow_changes: DataFrame | None = None,
 ) -> dict:
     """End-to-end exactly-once MERGE of a raw change batch.
 
@@ -308,14 +309,20 @@ def merge_into(
     body = changes.drop("part", "seg") if has_part else changes
 
     # --- narrow pass: skinny LWW dedup → pruning + counters + range bounds --
+    # narrow_changes: caller-supplied (usually persisted) projection of the
+    # valid rows with at least (doc_id, op, offset[, delivery_seq]) — lets
+    # the pipeline share ONE feed scan between its validation/lineage agg
+    # and this pass (driver task-dispatch is the serial cost in micro-batch
+    # mode; every extra scan of a wide feed hurts scaling).
+    skinny_src = narrow_changes if narrow_changes is not None else body
     ord_cols = [F.col("offset")]
-    if "delivery_seq" in body.columns:
+    if "delivery_seq" in skinny_src.columns:
         ord_cols.append(F.col("delivery_seq"))
-    skinny = body.select(
+    skinny = skinny_src.select(
         "doc_id",
         "op",
         "offset",
-        *(["delivery_seq"] if "delivery_seq" in body.columns else []),
+        *(["delivery_seq"] if "delivery_seq" in skinny_src.columns else []),
     )
     sk_win = F.max_by(
         F.struct(F.col("op"), F.col("offset")), F.struct(*ord_cols)

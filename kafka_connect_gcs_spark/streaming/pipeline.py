@@ -109,6 +109,17 @@ class CdcPipeline:
         batch_id = f"{segments[0]}..{segments[-1]}"
         paths = [os.path.join(self.cfg.feed_path, s) for s in segments]
         raw = self.spark.read.parquet(*paths)
+        # A4: static partition filter (Catalyst predicate, pushed to scan)
+        if self.cfg.parts_allow is not None and "part" in raw.columns:
+            raw = raw.where(F.col("part").isin(list(self.cfg.parts_allow)))
+        # A24: source-label remap (the reference's targetTopic.* routing)
+        if self.cfg.source_remap:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in self.cfg.source_remap.items() for x in kv]
+            )
+            raw = raw.withColumn(
+                "source", F.coalesce(mapping[F.col("source")], F.col("source"))
+            )
         # fuse validation flagging + per-partition lineage into ONE scan:
         # (part, min/max offset, events) over valid rows + quarantine count
         ok = F.when(F.col("op") == "D", F.lit(True)).otherwise(
@@ -116,8 +127,19 @@ class CdcPipeline:
         )
         flagged = raw.withColumn("_ok", ok)
         part_col = "part" if "part" in raw.columns else None
+        # ONE narrow scan of the feed serves validation counting, lineage,
+        # and the merge's skinny dedup/pruning/counters — persisted so the
+        # wide token arrays are only read again by the single heavy pass.
+        from pyspark import StorageLevel
+
+        narrow_cols = ["doc_id", "op", "offset", "_ok"]
+        if part_col:
+            narrow_cols.append("part")
+        if "delivery_seq" in raw.columns:
+            narrow_cols.append("delivery_seq")
+        narrow = flagged.select(*narrow_cols).persist(StorageLevel.MEMORY_AND_DISK)
         stats = (
-            flagged.groupBy(
+            narrow.groupBy(
                 F.col(part_col) if part_col else F.lit(0).alias("part")
             )
             .agg(
@@ -136,7 +158,9 @@ class CdcPipeline:
         lineage = merge_into(
             self.table, valid, batch_id, self.cfg,
             lineage_rows=stats, bounds_hint=hint,
+            narrow_changes=narrow.where(F.col("_ok")).drop("_ok"),
         )
+        narrow.unpersist()
         self._bounds = lineage.pop("_bounds", self._bounds)
         self._bounds_age = 0 if hint is None else self._bounds_age + 1
         lineage["segments"] = segments
@@ -170,6 +194,48 @@ class CdcPipeline:
             state["next_segment_idx"] = i
             self.ckpt.save(state)  # AFTER commit: crash ⇒ replay ⇒ no-op
         return out
+
+    def run_forever(
+        self,
+        stop_after_batches: int | None = None,
+        stop_after_idle_polls: int | None = None,
+        sleep_fn=time.sleep,
+    ) -> list[dict]:
+        """The reference's poll loop (A28, GCSSourceTask.java:200-234): drain
+        available segments; when idle, sleep ``poll_interval_s`` and re-list;
+        on a failed batch, back off ``error_backoff_s`` and retry up to
+        ``max_retries`` (the batch_id guard makes retries safe). The stop_*
+        knobs exist for tests; production passes None and runs until killed."""
+        out: list[dict] = []
+        idle = 0
+        failures = 0
+        while True:
+            try:
+                got = self.run_available(
+                    max_batches=None
+                    if stop_after_batches is None
+                    else max(stop_after_batches - len(out), 0)
+                )
+                failures = 0
+            except Exception:
+                failures += 1
+                if failures > self.cfg.max_retries:
+                    raise
+                sleep_fn(self.cfg.error_backoff_s)
+                continue
+            out.extend(got)
+            if stop_after_batches is not None and len(out) >= stop_after_batches:
+                return out
+            if not got:
+                idle += 1
+                if (
+                    stop_after_idle_polls is not None
+                    and idle >= stop_after_idle_polls
+                ):
+                    return out
+                sleep_fn(self.cfg.poll_interval_s)
+            else:
+                idle = 0
 
 
 def run_structured_streaming(

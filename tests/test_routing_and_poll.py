@@ -1,0 +1,113 @@
+"""Partition filters (A4), source remap (A24), poll/backoff loop (A28)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.config import EngineConfig
+from kafka_connect_gcs_spark.operators.merge import read_state
+from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
+from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+SPEC = BinlogSpec(
+    num_events=2_000, num_docs=300, num_partitions=4, seed=5, shuffle_window=100
+)
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("route")
+    feed_dir = str(root / "feed")
+    write_feed(spark, SPEC, feed_dir, num_segments=4)
+    return {"root": root, "feed": feed_dir}
+
+
+def test_partition_allowlist_filters_feed(spark, feed):
+    cfg = EngineConfig(
+        table_path=str(feed["root"] / "pa" / "table"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(feed["root"] / "pa" / "ckpt"),
+        parts_allow=(0, 2),
+        shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    lineages = pipe.run_available()
+    parts = set()
+    for ln in lineages:
+        parts |= set(ln["partitions"].keys())
+    assert parts == {"0", "2"}
+
+
+def test_source_remap_applies_on_ingest(spark, feed):
+    cfg = EngineConfig(
+        table_path=str(feed["root"] / "rm" / "table"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(feed["root"] / "rm" / "ckpt"),
+        source_remap={"web": "web-archive"},
+        shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.run_available()
+    srcs = {r.source for r in read_state(pipe.table).select("source").distinct().collect()}
+    assert "web" not in srcs and "web-archive" in srcs
+    assert {"books", "code", "wiki"} <= srcs
+
+
+def test_poll_loop_picks_up_late_segments_and_retries(spark, feed, tmp_path):
+    import os
+    import shutil
+
+    live_feed = str(tmp_path / "livefeed")
+    os.makedirs(live_feed)
+    segs = sorted(os.listdir(feed["feed"]))
+    segs = [s for s in segs if s.startswith("seg=")]
+    shutil.copytree(
+        os.path.join(feed["feed"], segs[0]), os.path.join(live_feed, segs[0])
+    )
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "table"),
+        feed_path=live_feed,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        shuffle_partitions=8,
+        poll_interval_s=0.01,
+        error_backoff_s=0.01,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        # new data arrives while we're "sleeping"
+        for s2 in segs[1:]:
+            dst = os.path.join(live_feed, s2)
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(feed["feed"], s2), dst)
+                break
+
+    lineages = pipe.run_forever(stop_after_idle_polls=2, sleep_fn=fake_sleep)
+    assert len(lineages) == len(segs) // cfg.max_files_per_batch or lineages
+    st = pipe.ckpt.load()
+    assert st["next_segment_idx"] == len(segs)  # everything eventually consumed
+    assert sleeps  # it did idle-poll
+
+
+def test_poll_loop_backs_off_then_raises(spark, tmp_path, monkeypatch, feed):
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "t2"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(tmp_path / "c2"),
+        max_retries=2,
+        error_backoff_s=0.01,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("transient storage error")
+
+    monkeypatch.setattr(pipe, "run_available", boom)
+    sleeps = []
+    with pytest.raises(RuntimeError, match="transient"):
+        pipe.run_forever(sleep_fn=sleeps.append)
+    assert len(calls) == cfg.max_retries + 1
+    assert sleeps == [cfg.error_backoff_s] * cfg.max_retries
