@@ -18,10 +18,11 @@ Scale properties (the reasons this survives 100 TB):
 * Monotone offsets: a change only wins if ``offset >= target.last_offset``
   — late replays of old events are ignored (A26 max-merge), making apply
   order-insensitive and replay-safe.
-* The merged batch is persisted once and serves three consumers (counter
-  aggregation, the range partitioner's sampling pass, the file write) — one
-  materialization of the join instead of three (reference gets its stats
-  from a CountingOutputStream in the single write pass,
+* The wide payload (token arrays) is read exactly ONCE per batch — the
+  heavy pass that writes. Counters, pruning, lineage, and range bounds all
+  come from narrow column-pruned passes; per-file live counts come free
+  from parquet footers (reference gets its stats from a
+  CountingOutputStream in the single write pass,
   BlockGZIPFileWriter.java:63-91).
 """
 
