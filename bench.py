@@ -82,6 +82,14 @@ def build_spark(cpus: int):
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
         )
+        # local[N] emulates an N-core executor: without this the JVM runs
+        # #host-core GC threads even at local[1], silently borrowing idle
+        # cores and skewing any scaling measurement
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(cpus, 1)}"
+            f" -XX:ConcGCThreads={max(cpus // 4, 1)}",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
