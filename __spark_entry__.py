@@ -327,6 +327,66 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3, blocks=4)
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py, union strategy): for each
+    purchase, the same user's most recent view at-or-before it."""
+    from kafka_connect_gcs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_values=["view_event_id"],
+    )
+    return out.select("event_id", "user_id", "view_event_id")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) per user."""
+    from kafka_connect_gcs_spark.operators.asof import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregate (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: users with clicks EXCEPT purchasers, UNION ALL users
+    with signups INTERSECT error-reporters (tagged so one result set)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    a = users("click").exceptAll(users("purchase")).withColumn("tag", F.lit("click_not_buy"))
+    b = users("signup").intersect(users("error")).withColumn("tag", F.lit("signup_and_error"))
+    return a.unionByName(b)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -417,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_orders": q_window_topk_orders,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "rollup_pricing": q_rollup_pricing,
+        "set_ops": q_set_ops,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -528,6 +592,48 @@ def oracle_sql() -> dict[str, str]:
                  event_type, count(*) AS n,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+          WITH p AS (SELECT event_id, user_id, ts FROM events
+                     WHERE event_type = 'purchase'),
+               v AS (SELECT user_id, ts AS view_ts, event_id AS view_event_id
+                     FROM events WHERE event_type = 'view')
+          SELECT p.event_id, p.user_id, v.view_event_id
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        """,
+        "sessionize": """
+          WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 1800 SECONDS
+                        THEN 1 ELSE 0 END AS ns
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          ), s AS (
+            SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM o
+          )
+          SELECT user_id, session_id, count(*) AS n_events,
+                 min(event_id) AS first_event_id,
+                 max(event_id) AS last_event_id
+          FROM s GROUP BY 1, 2
+        """,
+        "rollup_pricing": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+          SELECT user_id, 'click_not_buy' AS tag FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+          UNION ALL
+          SELECT user_id, 'signup_and_error' AS tag FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
         """,
         "text_token_stats": f"""
           SELECT doc_id,

@@ -1,0 +1,105 @@
+"""As-of join and gap sessionization — time-series operators Spark lacks
+as built-ins, composed from existing DataFrame ops (SURVEY's "custom
+operators" rule: composition first, Pandas UDF only if semantics demand).
+
+* :func:`asof_join` — for each left row, the single right row with the
+  largest ``right_ts <= left_ts`` within the same key (classic backward
+  as-of). Two physical strategies:
+    - "union" (default): tag both sides, union, per-key sort by ts, and a
+      running last-right carry via window ``last(..., ignorenulls)`` — ONE
+      shuffle on the key, no range join, no row explosion; robust to keys
+      with many rows on both sides. This is the strategy kdb/DuckDB use
+      conceptually (merge by time within key).
+    - "range": inequality join + max_by — simple, but |left|×|right-per-key|
+      intermediate; only sane when the right side is small/broadcastable.
+* :func:`sessionize` — gap-based session ids per key: session starts where
+  ``ts - lag(ts) > gap`` ; id = running sum of starts. One window, one
+  shuffle; the batch analog of Structured Streaming session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strategy: str = "union",
+) -> DataFrame:
+    """Backward as-of join; output = left columns + right_values (null when
+    no right row at or before left_ts exists for the key)."""
+    if strategy == "range":
+        r = right.select(
+            F.col(on).alias("_k"),
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c) for c in right_values],
+        )
+        j = left.join(
+            r, (left[on] == F.col("_k")) & (F.col("_rts") <= left[left_ts]), "left"
+        )
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in right_values]), F.col("_rts")
+        )
+        grouped = j.groupBy(*[left[c] for c in left.columns]).agg(win.alias("_w"))
+        return grouped.select(
+            *left.columns, *[F.col(f"_w.{c}").alias(c) for c in right_values]
+        )
+
+    # union strategy: one shuffle, linear in |left|+|right|
+    lcols = left.columns
+    l_struct = F.struct(*[F.col(c) for c in lcols])
+    r_struct = F.struct(*[F.col(c) for c in right_values])
+    l_type = left.select(l_struct.alias("_l")).schema["_l"].dataType
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right rows (0) sort before left on ts ties
+        l_struct.alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_last_r.{c}").alias(c) for c in right_values],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session ids: ``session_id`` is 0-based per key;
+    a new session starts when the time since the previous event exceeds
+    ``gap_seconds``. Adds ``session_id``; one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    prev = F.lag(F.col(ts)).over(w)
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ
+    new_sess = (
+        prev.isNull()
+        | (F.col(ts) > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
+    ).cast("long")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(new_sess).over(w_run) - 1)

@@ -45,9 +45,10 @@ def _canon(v):
 
 def _rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_canon(row[i]) for i in idx) for row in data
-    ), [cols[i] for i in idx]
+    rows = [tuple(_canon(row[i]) for i in idx) for row in data]
+    # null-safe, type-mixed sort key (e.g. ROLLUP emits NULL group keys)
+    rows.sort(key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
+    return rows, [cols[i] for i in idx]
 
 
 ORACLE = entrymod.oracle_sql()
