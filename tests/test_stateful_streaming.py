@@ -1,0 +1,93 @@
+"""Stateful Structured Streaming: watermarked windows + LWW state store."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
+from kafka_connect_gcs_spark.streaming.stateful import (
+    streaming_lww_state,
+    streaming_windowed_counts,
+)
+
+SPEC = BinlogSpec(
+    num_events=3_000, num_docs=300, num_partitions=4, seed=33,
+    duplicate_fraction=0.15, shuffle_window=200,
+)
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (str(r.window_start), r.event_type): r.n
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    import shutil
+
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = streaming_windowed_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    assert got == want
+
+
+def test_streaming_lww_state_matches_batch_dedup(spark, tmp_path):
+    feed_dir = str(tmp_path / "feed")
+    write_feed(spark, SPEC, feed_dir, num_segments=5)
+    batch = spark.read.parquet(feed_dir)
+    want = {
+        (r.doc_id): (r.offset, r.op)
+        for r in batch.groupBy("doc_id")
+        .agg(F.max_by(F.struct("offset", "op"), F.col("offset")).alias("w"))
+        .select("doc_id", F.col("w.offset").alias("offset"), F.col("w.op").alias("op"))
+        .collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches → real state
+        .parquet(feed_dir + "/seg=*")
+    )
+    out = streaming_lww_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lwwstate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("select * from lwwstate").collect()
+    assert emitted  # state emitted updates
+    # final winner per key across all emissions == batch LWW winner
+    final = {}
+    for r in emitted:
+        cur = final.get(r.doc_id)
+        if cur is None or r.offset >= cur[0]:
+            final[r.doc_id] = (r.offset, r.op)
+    assert final == want
