@@ -446,6 +446,18 @@ def q_ann_topk_float(spark, sf_dir):
     return brute_force_topk(e, q, k=10)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (coarse k-means quantizer + nprobe buckets) —
+    the scale path; approximate by design → rows-only check."""
+    from kafka_connect_gcs_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=10, num_centroids=16, nprobe=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.similarity import neardup_pairs_cosine
 
@@ -491,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_float": q_ann_topk_float,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
     }
 

@@ -45,11 +45,14 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_topk_orders",
+    "asof_join",
+    "sessionize",
     "text_token_stats",
     "dedup_exact_docs",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ann_topk_quantized",
+    "ann_topk_ivf",
 ]
 
 

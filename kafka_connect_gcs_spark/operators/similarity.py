@@ -118,6 +118,137 @@ def brute_force_topk_pandas(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means (Lloyd) with deterministic hash-seeded
+    init, fully in DataFrame ops. Returns (assignments df with ``centroid``
+    column, centroids as a python list of (cid, vector)).
+
+    Scale shape: each Lloyd iteration is one broadcast (centroids are tiny)
+    + one map (argmin over k dot products, all Catalyst) + one groupBy
+    (vector mean via ``aggregate`` elementwise sums) — no collect of data,
+    centroids only come to the driver.
+    """
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+
+    # deterministic init: pick the num_centroids rows with smallest key hash
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(num_centroids)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(init)]
+
+    def assign_expr(cents):
+        # argmin over squared L2 distance; ||v||² is common → argmax dot−||c||²/2.
+        # MUST be a flat array_max over (score, cid) structs: chaining
+        # when(cond, …).otherwise(prev) references prev twice per centroid →
+        # exponential expression tree → driver OOM at ~16 centroids (measured).
+        entries = [
+            F.struct(
+                (
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+                    - F.lit(sum(x * x for x in cvec) / 2.0)
+                ).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+        return F.array_max(F.array(*entries))["cid"]
+
+    for _ in range(iterations):
+        assigned = df.select(id_col, vec_col).withColumn(
+            "centroid", assign_expr(centroids)
+        )
+        sums = (
+            assigned.groupBy("centroid")
+            .agg(
+                F.aggregate(
+                    F.collect_list(vec_col),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = []
+        for r in sums:
+            new_cents.append((r.centroid, [x / r.n for x in r.vsum]))
+        # keep centroids that lost all members unchanged
+        have = {c for c, _ in new_cents}
+        new_cents += [(c, v) for c, v in centroids if c not in have]
+        centroids = sorted(new_cents)
+    assigned = df.withColumn("centroid", assign_expr(centroids))
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to centroids once, then score
+    each query only against its ``nprobe`` nearest centroid buckets — the
+    classic recall/cost dial (nprobe=num_centroids ⇒ exact brute force).
+    At 100 TB the corpus assignment is a write-once partitioning column and
+    the per-query work drops by ~num_centroids/nprobe."""
+    assigned, centroids = ivf_assign(
+        corpus, num_centroids=num_centroids, seed=seed, vec_col=vec_col
+    )
+    import math
+
+    # rank centroids per query on the driver? No — queries live in a df.
+    # centroids are tiny: compute query→centroid scores as expressions.
+    def probe_set_expr(qvec_col):
+        scores = []
+        for cid, cvec in centroids:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            nc = math.sqrt(sum(x * x for x in cvec)) or 1.0
+            scores.append(
+                F.struct(
+                    (dot(qvec_col, c) / F.lit(nc)).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+            )
+        arr = F.sort_array(F.array(*scores), asc=False)
+        return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("_probes", probe_set_expr(F.col("_qvec")))
+    qx = q.select(query_id_col, "_qvec", F.explode("_probes").alias("centroid"))
+    scored = (
+        assigned.join(F.broadcast(qx), "centroid")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def rp_bucket(vec, num_planes: int = 8, seed: int = 42, dim: int = 64):
     """Random-hyperplane LSH bucket id: bit p = sign(v · plane_p), plane
     components derived from xxhash64(seed, p, d) → uniform in [-1, 1].

@@ -1,0 +1,46 @@
+"""IVF approximate nearest neighbors: recall vs exact brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_ivf_assignment_is_total_and_stable(spark, emb):
+    assigned, cents = ivf_assign(emb, num_centroids=8, iterations=2)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.where(F.col("centroid").isNull()).count() == 0
+    again, cents2 = ivf_assign(emb, num_centroids=8, iterations=2)
+    assert [c for c, _ in cents] == [c for c, _ in cents2]
+    a1 = {r.vec_id: r.centroid for r in assigned.collect()}
+    a2 = {r.vec_id: r.centroid for r in again.collect()}
+    assert a1 == a2  # deterministic
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    truth = {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+    approx = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4)
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, recall  # nprobe=half the buckets
+
+    # nprobe == num_centroids degenerates to exact brute force
+    full = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=8)
+    got_full = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert got_full == truth
