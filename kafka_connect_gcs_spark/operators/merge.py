@@ -348,38 +348,11 @@ def merge_into(
 
     meta = table.metadata()
     schema = table.schema()
-    # column-pruned target read: only (doc_id, last_offset, deleted) hit disk
-    target_skinny = table._read_entries(meta, touched, schema).select(
-        "doc_id",
-        F.col("last_offset").alias("_t_offset"),
-        F.col("deleted").alias("_t_deleted"),
-    )
-    sj = target_skinny.join(sk_dedup, "doc_id", "full_outer")
-    change_wins = F.col("_c_op").isNotNull() & (
-        F.col("_t_offset").isNull() | (F.col("_c_offset") >= F.col("_t_offset"))
-    )
-    was_live = F.col("_t_offset").isNotNull() & ~F.coalesce(
-        F.col("_t_deleted"), F.lit(False)
-    )
-    is_delete = change_wins & (F.col("_c_op") == "D")
-    crow = sj.agg(
-        F.count(F.lit(1)).alias("rows_out"),
-        F.sum((change_wins & (F.col("_c_op") != "D") & ~was_live).cast("long")).alias("inserted"),
-        F.sum((change_wins & (F.col("_c_op") != "D") & was_live).cast("long")).alias("updated"),
-        F.sum((is_delete & was_live).cast("long")).alias("deleted"),
-        F.sum(
-            (F.col("_t_offset").isNotNull() & ~change_wins & F.col("_c_op").isNotNull()).cast("long")
-        ).alias("stale_ignored"),
-        F.sum(
-            F.when(change_wins, (F.col("_c_op") != "D").cast("long"))
-            .otherwise(was_live.cast("long"))
-        ).alias("live_rows"),
-    ).first()
-    counters = crow.asDict()
     # volume-sized write fan-out: ≈ one range bucket per target_file_bytes
     # of output, capped by shuffle_partitions (core-count-sized shuffles on
     # small batches measured 2.5× slower — small files + task overhead)
-    est_bytes = int(counters.get("rows_out", 0) or 0) * cfg.estimated_row_bytes
+    est_rows = sum(m.num_records for m in touched) + events_in  # upper bound
+    est_bytes = est_rows * cfg.estimated_row_bytes
     nb = max(4, min(cfg.shuffle_partitions, est_bytes // cfg.target_file_bytes + 1))
     # Range bounds drift slowly (the keyspace is stable batch-to-batch), so
     # callers may pass back the previous batch's bounds and skip the
@@ -390,15 +363,33 @@ def merge_into(
     sk_dedup.unpersist()
 
     # --- heavy pass (exactly once): full dedup → join → range write ---------
+    # Exact merge counters ride the write pass as an Observation — safe
+    # because nothing below re-executes the child (the range partitioner is
+    # sampling-free; an Observation under repartitionByRange double-counts).
+    from pyspark.sql import Observation
+
     deduped = lww_dedup(body)
     target = table._read_entries(meta, touched, schema)
-    merged = apply_changes(target, deduped).drop("_ins", "_upd", "_del", "_stale")
+    merged = apply_changes(target, deduped)
+    obs = Observation(f"merge-{batch_id}")
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("_ins").cast("long")).alias("inserted"),
+        F.sum(F.col("_upd").cast("long")).alias("updated"),
+        F.sum(F.col("_del").cast("long")).alias("deleted"),
+        F.sum(F.col("_stale").cast("long")).alias("stale_ignored"),
+        F.sum((~F.coalesce(F.col("deleted"), F.lit(False))).cast("long")).alias(
+            "live_rows"
+        ),
+    ).drop("_ins", "_upd", "_del", "_stale")
     out = range_repartition_no_sampling(
         merged, "doc_id", bounds, sort_cols=["doc_id"]
     )
     new_manifests = table.write_data_files(
         out, batch_id, range_partition_col=None, sort_within=()
     )
+    counters = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     # per-file live counts came free from the parquet footers (null-as-live
     # tombstone encoding → null_count of `deleted`); no extra job here.
     table_live_rows = sum(
