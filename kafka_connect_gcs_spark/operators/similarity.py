@@ -201,6 +201,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    iterations: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to centroids once, then score
     each query only against its ``nprobe`` nearest centroid buckets — the
@@ -208,7 +209,11 @@ def ivf_topk(
     At 100 TB the corpus assignment is a write-once partitioning column and
     the per-query work drops by ~num_centroids/nprobe."""
     assigned, centroids = ivf_assign(
-        corpus, num_centroids=num_centroids, seed=seed, vec_col=vec_col
+        corpus,
+        num_centroids=num_centroids,
+        iterations=iterations,
+        seed=seed,
+        vec_col=vec_col,
     )
     import math
 
