@@ -623,8 +623,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS ns
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
           ), s AS (
-            SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) - 1
+                           AS BIGINT) AS session_id
             FROM o
           )
           SELECT user_id, session_id, count(*) AS n_events,

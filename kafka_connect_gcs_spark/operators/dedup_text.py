@@ -248,14 +248,25 @@ def hamming64(a, b) -> F.Column:
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
-    blocks: int = 4,
+    max_hamming: int = 3,
+    blocks: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the 64-bit hash into `blocks` chunks
     (pigeonhole: d ≤ max_hamming ⇒ some chunk equal), join per block, verify
-    Hamming distance — the standard scalable simhash recipe."""
+    Hamming distance — the standard scalable simhash recipe.
+
+    The pigeonhole guarantee needs ``blocks > max_hamming`` (d bit flips can
+    dirty at most d blocks); blocks defaults to max_hamming + 1 and a
+    violating explicit value is rejected."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
     chunk = 64 // blocks
     sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     exploded = sh.select(

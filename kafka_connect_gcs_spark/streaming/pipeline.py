@@ -151,6 +151,23 @@ class CdcPipeline:
             .collect()
         )
         n_bad = int(sum(r.bad for r in stats))
+        n_valid = int(sum(r.events for r in stats))
+        if n_valid == 0:
+            # every row quarantined (or the segment was empty): no merge, no
+            # table commit — the feed position still advances (reference: an
+            # empty poll returns no records and commits nothing,
+            # GCSSourceTask.java:227-259)
+            narrow.unpersist()
+            lineage = {
+                "batch_id": batch_id,
+                "events_in": 0,
+                "partitions": {},
+                "segments": segments,
+                "quarantined": n_bad,
+                "ts": time.time(),
+            }
+            self.ckpt.append_lineage(lineage)
+            return lineage
         valid = flagged.where(F.col("_ok")).drop("_ok")
         hint = None
         if self._bounds is not None and self._bounds_age < self.BOUNDS_REFRESH_EVERY:
@@ -189,6 +206,12 @@ class CdcPipeline:
             if lineage is not None:
                 out.append(lineage)
                 for p, pm in lineage.get("partitions", {}).items():
+                    # a partition whose rows were ALL quarantined yields
+                    # max_offset=None — skip it (the feed position still
+                    # advances via next_segment_idx; offsets only track
+                    # events that were applied)
+                    if pm["max_offset"] is None:
+                        continue
                     prev = state["partition_offsets"].get(p, -1)
                     state["partition_offsets"][p] = max(prev, pm["max_offset"])
             state["next_segment_idx"] = i

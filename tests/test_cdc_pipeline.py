@@ -154,6 +154,43 @@ def test_batch_boundaries_do_not_matter(spark, feed):
     assert table_state(p_small.table) == table_state(p_big.table)
 
 
+def test_all_quarantined_partition_does_not_abort_drain(spark, feed, tmp_path):
+    """A segment whose rows are ALL invalid for some partition must not crash
+    run_available (regression: max(prev, None) TypeError) — the drain
+    continues, offsets for that partition simply don't advance."""
+    from pyspark.sql import functions as F
+
+    feed_dir = str(tmp_path / "feed")
+    spec = BinlogSpec(num_events=400, num_docs=60, num_partitions=2, seed=7)
+    write_feed(spark, spec, feed_dir, num_segments=2)
+    # append a segment where every row of a brand-new partition 9 is corrupt
+    seg = spark.read.parquet(feed_dir + "/seg=00000000").limit(20).select(
+        "doc_id", "offset",
+        F.lit("U").alias("op"),
+        F.col("tokens"),
+        (F.coalesce(F.col("n_tok"), F.lit(0)) + 1).alias("n_tok"),  # invalid
+        "source",
+        F.lit(9).cast("int").alias("part"),
+        "delivery_seq",
+    )
+    seg.write.parquet(feed_dir + "/seg=00000099")
+
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "table"),
+        feed_path=feed_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_batch=1,
+        shuffle_partitions=4,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    lineages = pipe.run_available()  # must not raise
+    assert len(lineages) == 3
+    assert lineages[-1]["quarantined"] == 20
+    st = pipe.ckpt.load()
+    assert "9" not in st["partition_offsets"]  # nothing applied for part 9
+    assert st["next_segment_idx"] == 3  # feed position still advanced
+
+
 def test_quarantine_rejects_corrupt_rows(spark, feed):
     """A corrupted n_tok mismatch is quarantined, not applied (the typed
     analog of 'Corrupt record at …', BytesRecordReader.java:197-199)."""
