@@ -455,7 +455,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=2)
+    return ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10)
 
 
 def q_embedding_neardup(spark, sf_dir):

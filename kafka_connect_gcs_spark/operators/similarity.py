@@ -118,6 +118,67 @@ def brute_force_topk_pandas(
     )
 
 
+def _centroid_matrix(centroids):
+    """(flat literal matrix, half-norms literal, cids literal, dim)."""
+    dim = len(centroids[0][1])
+    flat = [float(x) for _, v in centroids for x in v]
+    half_norms = [sum(x * x for x in v) / 2.0 for _, v in centroids]
+    cids = [int(c) for c, _ in centroids]
+    return F.lit(flat), F.lit(half_norms), F.lit(cids), dim
+
+
+def assign_centroid_expr(centroids, vec):
+    """Map-only nearest-centroid expression: argmax over (v·c − ||c||²/2)
+    via ONE literal flat centroid matrix + transform/array_max HOFs.
+
+    Expression size is O(1) in num_centroids (three array literals), unlike
+    per-centroid unrolling which costs seconds of analysis/codegen at k=16
+    and grows without bound — and unlike a broadcast-join + groupBy(argmax)
+    formulation it shuffles NOTHING: assignment stays a pure map over the
+    corpus, which is the property that matters at 10^10 rows. Each score is
+    computed exactly once (transform then array_max); ties break to the
+    smallest cid via the negated second struct field."""
+    M, N2, CID, dim = _centroid_matrix(centroids)
+    idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    entries = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(vec, F.slice(M, i * dim + 1, dim), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - F.element_at(N2, i + 1)
+            ).alias("s"),
+            (-F.element_at(CID, i + 1)).alias("neg_cid"),
+        ),
+    )
+    return -F.array_max(entries)["neg_cid"]
+
+
+def _train_centroids_numpy(sample_rows, num_centroids: int, iterations: int):
+    """Deterministic Lloyd iterations over a bounded sample, driver-side in
+    numpy — the FAISS recipe: the coarse quantizer is trained on a sample
+    (size ≤ num_centroids × sample_per_centroid, INDEPENDENT of corpus
+    size), never on the full corpus. Init = first k sample rows (the sample
+    itself is hash-ordered, so this is a deterministic pseudo-random pick);
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
+    X = np.asarray(sample_rows, dtype="float64")
+    C = X[:num_centroids].copy()
+    for _ in range(iterations):
+        # argmax of x·c − ||c||²/2  ==  argmin squared L2
+        scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        for c in range(num_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [(i, [float(x) for x in C[i]]) for i in range(num_centroids)]
+
+
 def ivf_assign(
     df: DataFrame,
     num_centroids: int = 16,
@@ -125,69 +186,36 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_per_centroid: int = 256,
 ):
-    """IVF coarse quantizer: k-means (Lloyd) with deterministic hash-seeded
-    init, fully in DataFrame ops. Returns (assignments df with ``centroid``
+    """IVF coarse quantizer. Returns (assignments df with ``centroid``
     column, centroids as a python list of (cid, vector)).
 
-    Scale shape: each Lloyd iteration is one broadcast (centroids are tiny)
-    + one map (argmin over k dot products, all Catalyst) + one groupBy
-    (vector mean via ``aggregate`` elementwise sums) — no collect of data,
-    centroids only come to the driver.
-    """
-    spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    Scale shape (the round-1 design ran Lloyd over the FULL corpus with a
+    per-centroid ``collect_list`` of member vectors — an executor OOM at
+    scale and 2 extra full-corpus jobs):
 
-    # deterministic init: pick the num_centroids rows with smallest key hash
-    init = (
-        df.select(id_col, vec_col)
+    * k-means is trained on a deterministic bounded sample
+      (num_centroids × sample_per_centroid rows, hash-ordered top-n ⇒ a
+      TakeOrderedAndProject, no shuffle) driver-side in numpy — sample size
+      is independent of corpus size, so this is metadata-scale work.
+    * the corpus is assigned ONCE, lazily, via :func:`assign_centroid_expr`
+      — a pure map (no shuffle, no collect), typically fused into the
+      consumer's scan. At true 100 TB scale this column is what you'd
+      precompute at write time and store as a partition key.
+    """
+    sample = (
+        df.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(num_centroids)
+        .limit(num_centroids * sample_per_centroid)
         .collect()
     )
-    centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(init)]
-
-    def assign_expr(cents):
-        # argmin over squared L2 distance; ||v||² is common → argmax dot−||c||²/2.
-        # MUST be a flat array_max over (score, cid) structs: chaining
-        # when(cond, …).otherwise(prev) references prev twice per centroid →
-        # exponential expression tree → driver OOM at ~16 centroids (measured).
-        entries = [
-            F.struct(
-                (
-                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
-                    - F.lit(sum(x * x for x in cvec) / 2.0)
-                ).alias("s"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in cents
-        ]
-        return F.array_max(F.array(*entries))["cid"]
-
-    for _ in range(iterations):
-        assigned = df.select(id_col, vec_col).withColumn(
-            "centroid", assign_expr(centroids)
-        )
-        sums = (
-            assigned.groupBy("centroid")
-            .agg(
-                F.aggregate(
-                    F.collect_list(vec_col),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("vsum"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        new_cents = []
-        for r in sums:
-            new_cents.append((r.centroid, [x / r.n for x in r.vsum]))
-        # keep centroids that lost all members unchanged
-        have = {c for c, _ in new_cents}
-        new_cents += [(c, v) for c, v in centroids if c not in have]
-        centroids = sorted(new_cents)
-    assigned = df.withColumn("centroid", assign_expr(centroids))
+    centroids = _train_centroids_numpy(
+        [[float(x) for x in r[0]] for r in sample], num_centroids, iterations
+    )
+    assigned = df.withColumn(
+        "centroid", assign_centroid_expr(centroids, F.col(vec_col))
+    )
     return assigned, centroids
 
 
@@ -218,20 +246,33 @@ def ivf_topk(
     import math
 
     # rank centroids per query on the driver? No — queries live in a df.
-    # centroids are tiny: compute query→centroid scores as expressions.
+    # centroids are tiny: per-query probe set from the same compact literal
+    # matrix (expression size O(1) in num_centroids).
     def probe_set_expr(qvec_col):
-        scores = []
-        for cid, cvec in centroids:
-            c = F.array(*[F.lit(float(x)) for x in cvec])
-            nc = math.sqrt(sum(x * x for x in cvec)) or 1.0
-            scores.append(
-                F.struct(
-                    (dot(qvec_col, c) / F.lit(nc)).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-            )
-        arr = F.sort_array(F.array(*scores), asc=False)
-        return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
+        dim = len(centroids[0][1])
+        flat = [float(x) for _, v in centroids for x in v]
+        norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in centroids]
+        cids = [int(c) for c, _ in centroids]
+        M, N, CID = F.lit(flat), F.lit(norms), F.lit(cids)
+        idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        scores = F.transform(
+            idxs,
+            lambda i: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            qvec_col, F.slice(M, i * dim + 1, dim), lambda a, b: a * b
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.element_at(N, i + 1)
+                ).alias("s"),
+                (-F.element_at(CID, i + 1)).alias("neg_cid"),
+            ),
+        )
+        arr = F.sort_array(scores, asc=False)
+        return F.transform(F.slice(arr, 1, nprobe), lambda s: -s["neg_cid"])
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
