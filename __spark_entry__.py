@@ -8,9 +8,20 @@ hash identically; array outputs are serialized with ``concat_ws`` to dodge
 engine-specific array formatting; md5-derived hashes are bit-identical in
 both engines by construction.
 
-Non-SQL-expressible entries (xxhash64-based simhash, float-threshold
-LSH/ANN) intentionally omit oracle SQL → the driver records the weaker
-rows-only check for those.
+EVERY query has an oracle. The probabilistic/approximate families get one
+of three treatments (round-2 upgrade — round 1 left five rows-only):
+
+* portable hashing — simhash & minhash-LSH run with md5-derived hashes so
+  DuckDB replays the ENTIRE pipeline (signatures, banding, candidate join,
+  verify) bit-for-bit; the production xxhash64 paths are timed by bench.py
+  and recall-asserted in pytest.
+* order-matched float folds — ann_topk_float's oracle accumulates float32
+  products in a sequential double left-fold exactly like F.aggregate, so
+  even the float sums are bit-identical.
+* measured-constant pinning — ann_topk_ivf reports recall@10 vs in-query
+  brute force; the oracle pins the (deterministic) measured constants.
+embedding_neardup plants near-duplicate vectors (clone + 1e-3 bump) so the
+query returns verifiable rows; its oracle is the exact all-pairs join.
 """
 
 from __future__ import annotations
@@ -307,24 +318,37 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh_neardup(spark, sf_dir):
-    """LSH-bucketed near-dup (candidate recall < 1 by design → rows-only).
-    3-gram shingles: word-set signatures degenerate on tiny-vocab corpora
-    (every doc shares most words → giant buckets → quadratic verify)."""
+    """The FULL MinHash-LSH pipeline (signatures → banded buckets →
+    candidate join → exact-Jaccard verify) in engine-portable form: md5
+    signatures + concat band buckets, which DuckDB replays verbatim — the
+    oracle checks candidate GENERATION, not just verification. 3-gram
+    shingles (word-set signatures degenerate on tiny-vocab corpora).
+    Bounded to doc_id < 1000 because the md5 signature path costs ~50× the
+    production xxhash64 path (which bench.py times on the full corpus)."""
     from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 1000
+    )
     return minhash_lsh_pairs(
-        d, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
+        d, num_hashes=16, bands=8, threshold=0.5, shingle_n=3,
+        portable=True, prefilter_slack=None,
     )
 
 
 def q_simhash_neardup(spark, sf_dir):
+    """Blocked SimHash near-dup in engine-portable form (60 md5-derived
+    bits): DuckDB recomputes every document's simhash bit-for-bit and takes
+    ALL pairs at Hamming ≤ 3; the engine's pigeonhole block join (4 blocks >
+    3 flips) must find exactly the same set — the oracle therefore proves
+    both the hash and the blocking recall. Production path (63-bit xxhash64)
+    is timed by bench.py and covered by pytest recall assertions."""
     from kafka_connect_gcs_spark.operators.dedup_text import simhash_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("doc_id") < 120
     )
-    return simhash_pairs(d, max_hamming=3, blocks=4)
+    return simhash_pairs(d, max_hamming=3, blocks=4, portable=True)
 
 
 def q_asof_join(spark, sf_dir):
@@ -435,8 +459,11 @@ def q_ann_topk_quantized(spark, sf_dir):
 
 
 def q_ann_topk_float(spark, sf_dir):
-    """True float cosine top-k (rows-only check: cross-engine float
-    accumulation differs at ~1e-6, verified during development)."""
+    """True float cosine top-k. Oracle-exact: both engines compute float32
+    products then a SEQUENTIAL double left-fold in element order (Spark
+    F.aggregate ≙ DuckDB list_reduce), so the sums are bit-identical —
+    unlike DuckDB's list_dot_product, whose accumulation order differs at
+    ~1e-6."""
     from kafka_connect_gcs_spark.operators.similarity import brute_force_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -447,22 +474,93 @@ def q_ann_topk_float(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF approximate top-k (coarse k-means quantizer + nprobe buckets) —
-    the scale path; approximate by design → rows-only check."""
-    from kafka_connect_gcs_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k, reported as recall@10 against the exact
+    brute-force top-10 (both computed in-query): one row per query with
+    (hits, recall). IVF is approximate by design, so the oracle pins the
+    MEASURED deterministic recall at sf0.01 as constants — a quantitative
+    regression gate rather than a rows-only smoke check. The raw top-k list
+    path is timed by bench.py on the full corpus."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10)
+    ivf = ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10).select(
+        "query_id", "vec_id"
+    )
+    truth = brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    hits = ivf.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    # left join from the full query set so a zero-recall query still shows up
+    base = q.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 2).alias("recall"),
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):
-    from kafka_connect_gcs_spark.operators.similarity import neardup_pairs_cosine
+    """RP-LSH cosine near-dup over quantized embeddings with PLANTED
+    near-duplicates (vec_id < 20 cloned at +1e-3 on one dimension, ids
+    offset by 1e6) — the natural corpus has no pairs ≥ 0.8, so round 1's
+    version returned 0 rows and proved nothing. Quantized integer
+    arithmetic makes the cosine bit-reproducible in DuckDB; the oracle is
+    the exact all-pairs join, so a hash match also proves the
+    random-hyperplane bucketing recalled every qualifying pair."""
+    from kafka_connect_gcs_spark.operators.similarity import rp_bucket
 
-    e = _t(spark, sf_dir, "embeddings")
-    return neardup_pairs_cosine(e, threshold=0.8, num_planes=4)
+    e = _quantized(_t(spark, sf_dir, "embeddings"))
+    clones = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("q"),
+    )
+    u = e.unionByName(clones)
+    qd = F.col("q").cast("array<double>")
+    dotq = F.aggregate(
+        F.zip_with(F.col("q_a"), F.col("q_b"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0).cast("long"), lambda acc, v: acc + v * v).cast(
+            "double"
+        )
+    )
+    a = u.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("q_a"),
+        rp_bucket(qd, 4, dim=64).alias("bkt"),
+    )
+    b = u.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("q_b"),
+        rp_bucket(qd, 4, dim=64).alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dotq.cast("double") / (nrm(F.col("q_a")) * nrm(F.col("q_b"))), 6
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.8)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +608,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _words_sql(col: str = "text") -> str:
     return f"list_filter(string_split_regex(lower({col}), '\\s+'), w -> w <> '')"
+
+
+def _minhash_lsh_sql(num_hashes=16, bands=8, threshold=0.5, max_doc_id=1000) -> str:
+    """DuckDB replay of the ENTIRE portable LSH pipeline: md5 minhash
+    signatures → concat band buckets → candidate self-join → exact-Jaccard
+    verify (mirrors operators/dedup_text.minhash_lsh_pairs(portable=True))."""
+    rpb = num_hashes // bands
+    sh_sql = (
+        "list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+    )
+    minhash = ", ".join(
+        "list_aggregate(list_transform(sh, "
+        f"w -> ('0x' || substr(md5('s{i}:' || w), 1, 15))::BIGINT), 'min')"
+        for i in range(num_hashes)
+    )
+    buckets = ", ".join(
+        "(" + " || ':' || ".join(f"sig[{b * rpb + r + 1}]::VARCHAR" for r in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    jac = (
+        "round(len(list_intersect(ga.sh, gb.sh))::DOUBLE / "
+        "(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))), 6)"
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents
+                 WHERE doc_id < {max_doc_id}),
+      s AS (SELECT doc_id, {sh_sql} AS sh FROM w),
+      g AS (SELECT doc_id, sh, [{minhash}] AS sig FROM s),
+      banded AS (
+        SELECT doc_id, t.b AS band, ([{buckets}])[t.b+1] AS bucket
+        FROM g, (SELECT unnest(range({bands})) AS b) t
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b, {jac} AS jaccard
+      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
+      WHERE {jac} >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming=3, max_doc_id=120) -> str:
+    """DuckDB replay of the portable 60-bit simhash + ALL-pairs Hamming
+    join. The engine's blocked join must find the identical pair set
+    (pigeonhole completeness) — so this oracle is strictly stronger than
+    verifying reported pairs."""
+    lanes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, list_distinct({_words_sql()}) AS ws
+                 FROM documents WHERE doc_id < {max_doc_id}),
+      h AS (SELECT doc_id,
+                   list_transform(ws, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+            FROM w),
+      s AS (SELECT doc_id, {lanes} AS sh FROM h)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _seqfold_dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Sequential double left-fold of float32 products — the exact
+    accumulation order Spark's F.aggregate uses, so sums are bit-identical
+    (list_dot_product's order differs at ~1e-6)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] * {b}[i])::DOUBLE), (x, y) -> x + y)"
+    )
 
 
 def _lang_scores_sql() -> str:
@@ -748,5 +922,60 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
           WHERE rank <= 10
+        """,
+        "minhash_lsh_neardup": _minhash_lsh_sql(),
+        "simhash_neardup": _simhash_sql(),
+        "ann_topk_float": f"""
+          WITH scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id,
+                   round({_seqfold_dot_sql('a.embedding', 'b.embedding')}
+                         / (sqrt({_seqfold_dot_sql('a.embedding', 'a.embedding')})
+                            * sqrt({_seqfold_dot_sql('b.embedding', 'b.embedding')})),
+                         6) AS sim
+            FROM embeddings a CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) b
+          )
+          SELECT query_id, vec_id, sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+          WHERE rank <= 10
+        """,
+        # IVF is approximate by design: the oracle pins the MEASURED
+        # deterministic recall@10 at sf0.01 (k-means on a hash-ordered
+        # sample + nprobe=4/16 probing; every input to the number is a pure
+        # function of the data and seeds). Regenerate by running
+        # q_ann_topk_ivf at sf0.01 if parameters change.
+        "ann_topk_ivf": """
+          SELECT * FROM (VALUES
+            (0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (1::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (3::BIGINT, 5::BIGINT, 0.5::DOUBLE),
+            (4::BIGINT, 6::BIGINT, 0.6::DOUBLE)
+          ) AS t(query_id, hits, recall)
+        """,
+        "embedding_neardup": """
+          WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE)*1000.0+0.5) AS BIGINT)) AS q
+            FROM embeddings
+          ),
+          u AS (
+            SELECT vec_id, q FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(range(1, 65),
+                                  i -> q[i] + CASE WHEN i-1 = vec_id % 64 THEN 1 ELSE 0 END)
+            FROM base WHERE vec_id < 20
+          )
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+                       / (sqrt(list_dot_product(a.q::DOUBLE[], a.q::DOUBLE[]))
+                          * sqrt(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]))), 6) AS sim
+          FROM u a JOIN u b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+                      / (sqrt(list_dot_product(a.q::DOUBLE[], a.q::DOUBLE[]))
+                         * sqrt(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]))), 6) >= 0.8
         """,
     }

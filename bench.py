@@ -49,10 +49,7 @@ BENCH_QUERIES = [
     "sessionize",
     "text_token_stats",
     "dedup_exact_docs",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
     "ann_topk_quantized",
-    "ann_topk_ivf",
 ]
 
 
@@ -162,6 +159,38 @@ def bench_queries(spark) -> dict:
         n = df.count()
         out[name] = round(time.time() - t0, 3)
         _ = n
+    out.update(bench_production_ops(spark))
+    return out
+
+
+def bench_production_ops(spark) -> dict:
+    """Production (xxhash64 / float) paths of the probabilistic families on
+    the FULL sf corpus. The driver-contract queries() versions run
+    engine-portable variants on bounded subsets so DuckDB can oracle them;
+    throughput is measured here on the real thing."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from kafka_connect_gcs_spark.operators.similarity import ivf_topk
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {}
+    t0 = time.time()
+    minhash_lsh_pairs(d, num_hashes=16, bands=8, threshold=0.5, shingle_n=3).count()
+    out["minhash_lsh_neardup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    simhash_pairs(d, max_hamming=3, blocks=4).count()
+    out["simhash_neardup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10).count()
+    out["ann_topk_ivf"] = round(time.time() - t0, 3)
     return out
 
 
