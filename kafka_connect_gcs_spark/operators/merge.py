@@ -196,10 +196,17 @@ def apply_changes(target: DataFrame, deduped: DataFrame) -> DataFrame:
     """changes ⟗ target on doc_id with LWW/monotone-offset resolution.
 
     deduped: one row per doc_id with (op, tokens, n_tok, source, offset).
-    target:  CDC_TABLE_FIELDS rows.
+    target:  CDC_TABLE_FIELDS rows, possibly plus EVOLVED extra columns.
     Returns the new state of the covered key space, with bookkeeping flags
     ``_ins/_upd/_del`` for observation (select them away before writing).
+
+    Evolved columns the change events don't carry are PRESERVED from the
+    target row whenever one exists (COW rewrites every row of a touched
+    file — silently null-filling extras would lose data even for rows no
+    change matched); they are null only for brand-new keys.
     """
+    canonical = {f.name for f in CDC_TABLE_FIELDS}
+    extras = [c for c in target.columns if c not in canonical]
     c = deduped.select(
         F.col("doc_id"),
         F.col("op").alias("_c_op"),
@@ -215,6 +222,7 @@ def apply_changes(target: DataFrame, deduped: DataFrame) -> DataFrame:
         F.col("source").alias("_t_source"),
         F.col("last_offset").alias("_t_offset"),
         F.col("deleted").alias("_t_deleted"),
+        *[F.col(x).alias(f"_t_{x}") for x in extras],
     )
     j = t.join(c, "doc_id", "full_outer")
     change_wins = F.col("_c_op").isNotNull() & (
@@ -247,6 +255,7 @@ def apply_changes(target: DataFrame, deduped: DataFrame) -> DataFrame:
             ),
             F.lit(True),
         ).alias("deleted"),
+        *[F.col(f"_t_{x}").alias(x) for x in extras],
         is_insert.alias("_ins"),
         is_update.alias("_upd"),
         (is_delete & was_live).alias("_del"),

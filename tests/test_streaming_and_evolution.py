@@ -108,3 +108,70 @@ def test_schema_evolution_mid_stream(spark, feed):
         for r in got.collect()
     )
     assert state == _oracle(feed["feed"])
+
+
+def test_merge_preserves_populated_evolved_column(spark, feed):
+    """Regression (round-1 advice): COW rewrites every row of a touched
+    file, and apply_changes used to project only the six canonical CDC
+    columns — an evolved column with VALUES was silently null-filled even
+    for rows no change matched. Now: extras survive whenever a target row
+    exists; only brand-new keys are null."""
+    from kafka_connect_gcs_spark.operators.merge import merge_into
+
+    cfg = EngineConfig(
+        table_path=str(feed["root"] / "evo2" / "table"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(feed["root"] / "evo2" / "ckpt"),
+        max_files_per_batch=3,
+        shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.run_available(max_batches=1)
+
+    fields = tuple(
+        list(pipe.table.schema().fields) + [Field("quality", "double")]
+    )
+    pipe.table.evolve_schema(fields)
+
+    # backfill quality = doc-number via a full rewrite commit (the
+    # maintenance path a real backfill job would take)
+    full = pipe.table.read().withColumn(
+        "quality", F.substring("doc_id", 4, 9).cast("double")
+    )
+    new_manifests = pipe.table.write_data_files(full, "backfill-quality")
+    pipe.table.commit(
+        batch_id="backfill-quality",
+        operation="overwrite",
+        keep_manifests=[],
+        new_manifests=new_manifests,
+        lineage={"note": "quality backfill"},
+    )
+    before = {
+        r.doc_id: r.quality
+        for r in read_state(pipe.table).select("doc_id", "quality").collect()
+    }
+    assert before and all(v is not None for v in before.values())
+    # every row that exists at all (incl. tombstones — they also carry the
+    # backfilled value and preserve it on revival)
+    before_any_row = {
+        r.doc_id for r in pipe.table.read().select("doc_id").collect()
+    }
+
+    # apply the REST of the feed — touches every file (COW rewrites)
+    pipe2 = CdcPipeline(spark, cfg)
+    pipe2.run_available()
+    after = read_state(pipe2.table).select("doc_id", "quality").collect()
+    after_map = {r.doc_id: r.quality for r in after}
+    # every key that existed before keeps its quality value exactly
+    for doc_id, q in before.items():
+        if doc_id in after_map:  # not deleted by later changes
+            assert after_map[doc_id] == q, doc_id
+    # brand-new keys (no prior row, not even a tombstone) are null-filled
+    new_keys = set(after_map) - before_any_row
+    assert all(after_map[k] is None for k in new_keys)
+    # and the canonical state still matches the oracle
+    state = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source, r.last_offset)
+        for r in read_state(pipe2.table).collect()
+    )
+    assert state == _oracle(feed["feed"])
