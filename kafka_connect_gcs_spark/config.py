@@ -57,6 +57,15 @@ class EngineConfig:
     #: feed partitions to consume; None = all — the reference's partition-set
     #: membership filter (GCSFilesReader.java:86-109).
     parts_allow: tuple | None = None
+    #: feed partitions to SKIP — the reference's ``topics.ignore`` deny-list
+    #: (GCSSourceTask.java:88-93, README.md:190). Applied after parts_allow.
+    parts_ignore: tuple | None = None
+    #: begin mid-feed WITHOUT a checkpoint: segments lexicographically below
+    #: this name are skipped on first start — the reference's
+    #: ``gcs.start.marker`` (GCSSourceConfig.java:9, GCSFilesReader.java:148-158,
+    #: README.md:184). Ignored once a checkpoint exists (checkpoint wins,
+    #: like stored Connect offsets win over the marker).
+    start_marker: str | None = None
     #: source-label remap applied on ingest — the reference's targetTopic.*
     #: routing (GCSSourceTask.java:286-288), e.g. {"web": "web-archive"}.
     source_remap: dict | None = None

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_gcs_spark.config import EngineConfig
 from kafka_connect_gcs_spark.icebox.table import IceboxTable
+from kafka_connect_gcs_spark.metrics import Metrics, create_metrics
 from kafka_connect_gcs_spark.operators.merge import CDC_TABLE_FIELDS, merge_into
 from kafka_connect_gcs_spark.operators.validate import split_valid, valid_expr
 
@@ -84,9 +85,21 @@ class Checkpoint:
 
 
 class CdcPipeline:
-    def __init__(self, spark: SparkSession, config: EngineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        metrics: Metrics | None = None,
+    ):
         self.spark = spark
         self.cfg = config
+        #: A29 metrics surface: reporter chosen by config
+        #: (``properties["metrics.reporter"] = "jsonl"|"recording"|module:Class``),
+        #: or injected directly. Values come from counters the batch already
+        #: produces (Observations + lineage aggregates) — no extra Spark jobs.
+        self.metrics = metrics if metrics is not None else create_metrics(
+            config.properties
+        )
         self.ckpt = Checkpoint(config.checkpoint_path)
         if IceboxTable.exists(config.table_path):
             self.table = IceboxTable.load(spark, config.table_path)
@@ -107,11 +120,34 @@ class CdcPipeline:
         if not segments:
             return None
         batch_id = f"{segments[0]}..{segments[-1]}"
+        with self.metrics.time("batch", {"batch_id": batch_id}):
+            lineage = self._run_batch_inner(segments, batch_id)
+        if lineage is not None:
+            tags = {"batch_id": batch_id}
+            self.metrics.meter(lineage.get("events_in", 0), "events.in", tags)
+            self.metrics.meter(lineage.get("quarantined", 0), "events.quarantined", tags)
+            for k in ("inserted", "updated", "deleted", "stale_ignored"):
+                if k in lineage:
+                    self.metrics.meter(lineage[k], f"merge.{k}", tags)
+            if "seconds" in lineage:
+                self.metrics.hist(
+                    int(lineage["seconds"] * 1e9), "merge.seconds_ns", tags
+                )
+            if "table_live_rows" in lineage:
+                live = lineage["table_live_rows"]
+                self.metrics.gauge("table.live_rows", None, lambda: live)
+        return lineage
+
+    def _run_batch_inner(self, segments: list[str], batch_id: str) -> dict | None:
         paths = [os.path.join(self.cfg.feed_path, s) for s in segments]
         raw = self.spark.read.parquet(*paths)
-        # A4: static partition filter (Catalyst predicate, pushed to scan)
+        # A4: static partition filters (Catalyst predicates, pushed to scan)
         if self.cfg.parts_allow is not None and "part" in raw.columns:
             raw = raw.where(F.col("part").isin(list(self.cfg.parts_allow)))
+        # deny-list composes after the allow-list, like the reference chains
+        # topics / topics.ignore predicates (GCSSourceTask.java:88-93)
+        if self.cfg.parts_ignore is not None and "part" in raw.columns:
+            raw = raw.where(~F.col("part").isin(list(self.cfg.parts_ignore)))
         # A24: source-label remap (the reference's targetTopic.* routing)
         if self.cfg.source_remap:
             mapping = F.create_map(
@@ -195,6 +231,17 @@ class CdcPipeline:
         state = self.ckpt.load()
         segs = _list_segments(self.cfg.feed_path)
         i = state["next_segment_idx"]
+        # A cold start (no checkpoint yet) honors start_marker: skip every
+        # segment lexicographically below it, mirroring gcs.start.marker
+        # (GCSFilesReader.java:148-158). A checkpoint always wins, like
+        # stored Connect offsets win over the marker.
+        if (
+            i == 0
+            and not state["partition_offsets"]
+            and self.cfg.start_marker is not None
+        ):
+            while i < len(segs) and segs[i] < self.cfg.start_marker:
+                i += 1
         batches = 0
         while i < len(segs):
             if max_batches is not None and batches >= max_batches:
