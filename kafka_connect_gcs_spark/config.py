@@ -49,6 +49,17 @@ class EngineConfig:
     #: hot keys get salted, cold keys keep a single bucket.
     hot_key_fraction: float = 0.01
 
+    # --- merge strategy ------------------------------------------------------
+    #: "cow" (copy-on-write: rewrite touched files), "mor" (merge-on-read:
+    #: append winners + delete-vector sidecars, nothing rewritten), or
+    #: "auto" (MoR when the batch is sparse relative to the files it
+    #: touches, else COW). MoR trades read-time DV reconciliation for write
+    #: volume ∝ changes instead of ∝ touched bytes — the sparse-update win
+    #: at 100 TB; fold with icebox.maintenance.fold_deletes / compact.
+    merge_mode: str = "auto"
+    #: auto mode picks MoR when changed_keys / touched_file_rows ≤ this.
+    mor_max_changed_ratio: float = 0.2
+
     # --- payload -----------------------------------------------------------
     #: token vocabulary bound for validation (exclusive upper bound).
     vocab_size: int = 50_257

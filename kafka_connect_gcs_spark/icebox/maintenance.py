@@ -63,7 +63,12 @@ def compact(
     to_rewrite = [m for g in groups for m in g]
     rewrite_set = {m.path for m in to_rewrite}
     keep = [m for m in snap.manifests if m.path not in rewrite_set]
-    df = table._read_entries(table.metadata(), to_rewrite, table.schema())
+    # reconciled read: compaction also PURGES rows superseded by delete
+    # vectors from the rewritten files (the DVs stay for the kept files)
+    df = table.apply_deletes(
+        table._read_entries(table.metadata(), to_rewrite, table.schema()),
+        snap.deletes,
+    )
     batch_id = f"compact-v{table.current_version()}"
     if batch_id in table.committed_batch_ids():
         return {"compacted_files": 0, "groups": 0, "skipped": True}
@@ -74,6 +79,14 @@ def compact(
         range_partition_col=sort_col,
         num_partitions=max(len(groups), 1),
     )
+    # dead-row accounting from footers alone: the only rows a compaction
+    # drops are DV-superseded ones, so live_before − live_after = purged dead
+    mor_dead = table.mor_dead_rows()
+    if snap.deletes and all(m.num_live is not None for m in to_rewrite):
+        purged = sum(m.num_live for m in to_rewrite) - sum(
+            (m.num_live or 0) for m in new_manifests
+        )
+        mor_dead = max(0, mor_dead - max(0, purged))
     lineage = {
         "compacted_files": len(to_rewrite),
         "groups": len(groups),
@@ -87,6 +100,59 @@ def compact(
         keep_manifests=keep,
         new_manifests=new_manifests,
         lineage=lineage,
+        mor_dead_rows=mor_dead,
+    )
+    return lineage
+
+
+def fold_deletes(table: IceboxTable, sort_col: str = "doc_id") -> dict:
+    """Fold ALL delete vectors into the data files: rewrite (reconciled)
+    every data file whose key range overlaps a DV manifest's key range, then
+    drop the DVs. Afterwards reads pay no reconciliation join and
+    ``mor_dead_rows`` is zero.
+
+    Correctness of the pruning: a DV-superseded row's doc_id lies inside
+    some DV file's (min,max doc_id), so its data file's key range overlaps
+    that DV manifest — rewriting exactly the overlapping files covers every
+    dead row (files without stats rewrite conservatively)."""
+    snap = table.snapshot()
+    if not snap.deletes:
+        return {"folded_dvs": 0, "files_rewritten": 0, "skipped": True}
+    affected = [
+        m
+        for m in snap.manifests
+        if any(
+            d.min_doc_id is None
+            or m.overlaps_keys(d.min_doc_id, d.max_doc_id)
+            for d in snap.deletes
+        )
+    ]
+    keep = [m for m in snap.manifests if m.path not in {a.path for a in affected}]
+    batch_id = f"fold-dv-v{table.current_version()}"
+    if batch_id in table.committed_batch_ids():
+        return {"folded_dvs": 0, "files_rewritten": 0, "skipped": True}
+    df = table.apply_deletes(
+        table._read_entries(table.metadata(), affected, table.schema()),
+        snap.deletes,
+    )
+    new_manifests = table.write_data_files(
+        df, batch_id, sort_within=(sort_col,), range_partition_col=sort_col
+    )
+    lineage = {
+        "folded_dvs": len(snap.deletes),
+        "dv_rows": sum(d.num_records for d in snap.deletes),
+        "files_rewritten": len(affected),
+        "files_written": len(new_manifests),
+    }
+    table.commit(
+        batch_id=batch_id,
+        operation="fold-deletes",
+        keep_manifests=keep,
+        new_manifests=new_manifests,
+        lineage=lineage,
+        keep_deletes=(),  # all folded
+        new_deletes=(),
+        mor_dead_rows=0,
     )
     return lineage
 

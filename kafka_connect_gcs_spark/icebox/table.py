@@ -200,6 +200,11 @@ class Snapshot:
     schema_id: int
     manifests: tuple[ManifestEntry, ...]
     lineage: dict = field(default_factory=dict)
+    #: merge-on-read DELETE VECTORS: parquet files of (doc_id, offset)
+    #: where ``offset`` is the superseding watermark — any stored row for
+    #: that doc_id with ``last_offset < offset`` is dead. Reads reconcile
+    #: (IceboxTable.apply_deletes); compaction folds them into data files.
+    deletes: tuple[ManifestEntry, ...] = ()
 
     def to_json(self) -> dict:
         return {
@@ -211,6 +216,7 @@ class Snapshot:
             "schema_id": self.schema_id,
             "manifests": [m.to_json() for m in self.manifests],
             "lineage": self.lineage,
+            "deletes": [m.to_json() for m in self.deletes],
         }
 
     @staticmethod
@@ -224,6 +230,9 @@ class Snapshot:
             schema_id=d["schema_id"],
             manifests=tuple(ManifestEntry.from_json(m) for m in d["manifests"]),
             lineage=d.get("lineage", {}),
+            deletes=tuple(
+                ManifestEntry.from_json(m) for m in d.get("deletes", [])
+            ),
         )
 
 
@@ -402,7 +411,47 @@ class IceboxTable:
             entries = [e for e in entries if e.overlaps_keys(lo, hi)]
         if manifest_filter is not None:
             entries = [e for e in entries if manifest_filter(e)]
-        return self._read_entries(meta, entries, target)
+        return self.apply_deletes(
+            self._read_entries(meta, entries, target), snap.deletes
+        )
+
+    def apply_deletes(
+        self, df: DataFrame, deletes: Sequence[ManifestEntry]
+    ) -> DataFrame:
+        """Merge-on-read reconciliation: drop every row superseded by a
+        delete vector (``last_offset < max watermark for its doc_id``).
+
+        The DV side is aggregated to one (doc_id, max watermark) row per key
+        before the join — correct for any number of DVs per key because
+        watermarks only grow — and is broadcast when its on-disk size is
+        clearly under the broadcast threshold; otherwise Spark/AQE picks the
+        strategy. Rows appended BY the superseding batch carry
+        ``last_offset == watermark`` and survive (strict <)."""
+        deletes = list(deletes)
+        if not deletes:
+            return df
+        paths = [os.path.join(self.root, e.path) for e in deletes]
+        dv = (
+            self.spark.read.parquet(*paths)
+            .groupBy("doc_id")
+            .agg(F.max("offset").alias("_dv_watermark"))
+        )
+        if sum(e.num_bytes for e in deletes) < 8 * 1024 * 1024:
+            dv = F.broadcast(dv)
+        return (
+            df.join(dv, "doc_id", "left")
+            .where(
+                F.col("_dv_watermark").isNull()
+                | (F.col("last_offset") >= F.col("_dv_watermark"))
+            )
+            .drop("_dv_watermark")
+        )
+
+    def mor_dead_rows(self, version: int | None = None) -> int:
+        """Cumulative live rows physically present but superseded by delete
+        vectors — maintained by commits so ``live row count`` stays a pure
+        metadata computation (sum of footer num_live − this)."""
+        return int(self.metadata(version).get("mor_dead_rows", 0))
 
     def _read_entries(
         self, meta: dict, entries: Iterable[ManifestEntry], target: Schema
@@ -500,6 +549,33 @@ class IceboxTable:
         )
         return self._collect_manifests(out_dir, rel_dir, schema_id)
 
+    def write_delete_files(
+        self, dv: DataFrame, batch_id: str
+    ) -> list[ManifestEntry]:
+        """Write a batch's delete vector as Parquet of (doc_id, offset)
+        under ``deletes/batch={batch_id}`` and return its manifest entries.
+        Reusing the (doc_id, offset) column names means the same footer-stats
+        collector yields min/max key + watermark ranges for DV pruning.
+        Deterministic naming gives the same replay-overwrite idempotence as
+        data files."""
+        rel_dir = f"deletes/batch={batch_id}"
+        out_dir = os.path.join(self.root, rel_dir)
+        meta = self.metadata()
+        if batch_id in meta["committed_batch_ids"]:
+            raise ValueError(f"batch {batch_id!r} already committed; write refused")
+        (
+            dv.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("offset").cast("long").alias("offset"),
+            )
+            # repartition, not coalesce: coalesce(1) would collapse the
+            # upstream (shuffled) winner computation to one task
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return self._collect_manifests(out_dir, rel_dir, meta["current_schema_id"])
+
     def _collect_manifests(
         self, out_dir: str, rel_dir: str, schema_id: int
     ) -> list[ManifestEntry]:
@@ -563,6 +639,9 @@ class IceboxTable:
         lineage: dict | None = None,
         expected_version: int | None = None,
         new_schema: Sequence[Field] | None = None,
+        keep_deletes: Sequence[ManifestEntry] | None = None,
+        new_deletes: Sequence[ManifestEntry] = (),
+        mor_dead_rows: int | None = None,
     ) -> int:
         """Commit a new snapshot; returns the new version.
 
@@ -582,6 +661,9 @@ class IceboxTable:
         meta = self._read_metadata(cur)
         if batch_id is not None and batch_id in meta["committed_batch_ids"]:
             return cur  # replayed micro-batch → no-op
+        prev_snap = Snapshot.from_json(meta["snapshot"])
+        if keep_deletes is None:
+            keep_deletes = prev_snap.deletes  # default: carry DVs forward
         schemas = list(meta["schemas"])
         schema_id = meta["current_schema_id"]
         if new_schema is not None:
@@ -599,6 +681,7 @@ class IceboxTable:
             schema_id=schema_id,
             manifests=tuple(list(keep_manifests) + list(new_manifests)),
             lineage=lineage or {},
+            deletes=tuple(list(keep_deletes) + list(new_deletes)),
         )
         new_meta = {
             **meta,
@@ -608,6 +691,11 @@ class IceboxTable:
             "committed_batch_ids": meta["committed_batch_ids"]
             + ([batch_id] if batch_id is not None else []),
             "snapshot": snap.to_json(),
+            "mor_dead_rows": (
+                int(mor_dead_rows)
+                if mor_dead_rows is not None
+                else int(meta.get("mor_dead_rows", 0))
+            ),
         }
         self._write_metadata(new_version, new_meta)
         self._advance_hint(new_version)

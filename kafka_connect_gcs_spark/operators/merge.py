@@ -260,6 +260,7 @@ def apply_changes(target: DataFrame, deduped: DataFrame) -> DataFrame:
         is_update.alias("_upd"),
         (is_delete & was_live).alias("_del"),
         (F.col("_t_offset").isNotNull() & ~change_wins & F.col("_c_op").isNotNull()).alias("_stale"),
+        was_live.alias("_twl"),
     )
     # tombstones stay in the output (they carry the LWW watermark across
     # batches); read_state() filters them for consumers.
@@ -357,6 +358,31 @@ def merge_into(
 
     meta = table.metadata()
     schema = table.schema()
+
+    # --- merge-mode resolution (copy-on-write vs merge-on-read) -------------
+    # COW rewrites every touched file — write amplification ∝ touched bytes.
+    # MoR appends only the winners + a delete-vector sidecar — writes ∝
+    # change volume. Sparse updates over a big table want MoR; dense updates
+    # want COW (MoR would leave most of the table dead + DV-joined reads).
+    mode = getattr(cfg, "merge_mode", "cow")
+    touched_rows = sum(m.num_records for m in touched)
+    if mode == "auto":
+        if touched_rows == 0:
+            mode = "cow"  # pure append — identical plans, keep the cheap one
+        else:
+            changed_keys = sk_dedup.count()  # narrow cached rows, tiny job
+            mode = (
+                "mor"
+                if changed_keys <= cfg.mor_max_changed_ratio * touched_rows
+                else "cow"
+            )
+    if mode == "mor" and touched_rows > 0:
+        result = _merge_mor(
+            table, body, sk_dedup, batch_id, cfg, snap, meta, schema,
+            touched, lineage_rows, bounds_hint, t0,
+        )
+        sk_dedup.unpersist()
+        return result
     # volume-sized write fan-out: ≈ one range bucket per target_file_bytes
     # of output, capped by shuffle_partitions (core-count-sized shuffles on
     # small batches measured 2.5× slower — small files + task overhead)
@@ -378,7 +404,9 @@ def merge_into(
     from pyspark.sql import Observation
 
     deduped = lww_dedup(body)
-    target = table._read_entries(meta, touched, schema)
+    target = table.apply_deletes(
+        table._read_entries(meta, touched, schema), snap.deletes
+    )
     merged = apply_changes(target, deduped)
     obs = Observation(f"merge-{batch_id}")
     merged = merged.observe(
@@ -391,7 +419,8 @@ def merge_into(
         F.sum((~F.coalesce(F.col("deleted"), F.lit(False))).cast("long")).alias(
             "live_rows"
         ),
-    ).drop("_ins", "_upd", "_del", "_stale")
+        F.sum(F.col("_twl").cast("long")).alias("target_live_seen"),
+    ).drop("_ins", "_upd", "_del", "_stale", "_twl")
     out = range_repartition_no_sampling(
         merged, "doc_id", bounds, sort_cols=["doc_id"]
     )
@@ -399,15 +428,29 @@ def merge_into(
         out, batch_id, range_partition_col=None, sort_within=()
     )
     counters = {k: (v if v is not None else 0) for k, v in obs.get.items()}
+    # DV dead-row accounting: rewriting a touched file physically drops its
+    # DV-superseded rows; dead_in_touched = physical live (footer num_live)
+    # minus the reconciled live target rows the merge actually saw.
+    mor_dead = table.mor_dead_rows()
+    if snap.deletes and all(m.num_live is not None for m in touched):
+        touched_live_physical = sum(m.num_live for m in touched)
+        dead_in_touched = touched_live_physical - (
+            counters.get("target_live_seen") or 0
+        )
+        mor_dead = max(0, mor_dead - max(0, dead_in_touched))
     # per-file live counts came free from the parquet footers (null-as-live
     # tombstone encoding → null_count of `deleted`); no extra job here.
-    table_live_rows = sum(
-        (m.num_live if m.num_live is not None else m.num_records)
-        for m in list(keep) + list(new_manifests)
+    table_live_rows = (
+        sum(
+            (m.num_live if m.num_live is not None else m.num_records)
+            for m in list(keep) + list(new_manifests)
+        )
+        - mor_dead
     )
     secs = time.time() - t0
     lineage = {
         "batch_id": batch_id,
+        "mode": "cow",
         "events_in": events_in,
         "partitions": {
             str(r.part): {
@@ -427,6 +470,7 @@ def merge_into(
         "files_rewritten": len(touched),
         "files_kept": len(keep),
         "files_written": len(new_manifests),
+        "bytes_written": sum(m.num_bytes for m in new_manifests),
         "seconds": round(secs, 3),
         "events_per_sec": round(events_in / secs, 1) if secs > 0 else None,
     }
@@ -436,6 +480,187 @@ def merge_into(
         keep_manifests=keep,
         new_manifests=new_manifests,
         lineage=lineage,
+        mor_dead_rows=mor_dead,
     )
     # handed back for reuse as the next batch's bounds_hint (not persisted)
+    return {**lineage, "_bounds": bounds}
+
+
+def _merge_mor(
+    table: IceboxTable,
+    body: DataFrame,
+    sk_dedup: DataFrame,
+    batch_id: str,
+    cfg: EngineConfig,
+    snap,
+    meta: dict,
+    schema,
+    touched: list,
+    lineage_rows: list,
+    bounds_hint: list[str] | None,
+    t0: float,
+) -> dict:
+    """Merge-on-read apply: append ONLY the winning rows as new data files
+    and write a delete-vector sidecar (doc_id, offset watermark) that kills
+    the superseded rows at read time — no touched file is rewritten.
+
+    Write volume ∝ change volume instead of ∝ touched bytes: the win for
+    sparse updates over a 100 TB table, at the cost of a DV reconciliation
+    join on reads (folded away by compaction / fold_deletes).
+
+    Tie rule: a change with ``offset == stored last_offset`` is a replayed
+    duplicate of the SAME event (offsets are globally unique event ids), so
+    it is skipped — appended winners always carry ``offset > watermark`` of
+    any row they kill, which is what makes the strict-inequality DV kill
+    rule unambiguous."""
+    from pyspark.sql import Observation
+
+    spark = table.spark
+    events_in = sum(r.events for r in lineage_rows)
+    canonical = {f.name for f in CDC_TABLE_FIELDS}
+    extras = [f.name for f in schema.fields if f.name not in canonical]
+
+    # narrow reconciled target: (doc_id, last_offset, deleted) of touched
+    # files — column-pruned scan, feeds both the DV pass and the win filter
+    t_nar = table.apply_deletes(
+        table._read_entries(meta, touched, schema).select(
+            "doc_id", "last_offset", "deleted"
+        ),
+        snap.deletes,
+    ).select(
+        "doc_id",
+        F.col("last_offset").alias("_t_offset"),
+        F.col("deleted").alias("_t_deleted"),
+    )
+
+    j = sk_dedup.join(t_nar, "doc_id", "left")
+    strict_win = F.col("_t_offset").isNull() | (
+        F.col("_c_offset") > F.col("_t_offset")
+    )
+    was_live = F.col("_t_offset").isNotNull() & ~F.coalesce(
+        F.col("_t_deleted"), F.lit(False)
+    )
+    flags = j.select(
+        "doc_id",
+        "_c_op",
+        "_c_offset",
+        "_t_offset",
+        (strict_win & (F.col("_c_op") != "D") & ~was_live).alias("_ins"),
+        (strict_win & (F.col("_c_op") != "D") & was_live).alias("_upd"),
+        (strict_win & (F.col("_c_op") == "D") & was_live).alias("_del"),
+        (
+            F.col("_t_offset").isNotNull()
+            & (F.col("_c_offset") < F.col("_t_offset"))
+        ).alias("_stale"),
+        strict_win.alias("_win"),
+    )
+    obs_nar = Observation(f"mor-dv-{batch_id}")
+    flags = flags.observe(
+        obs_nar,
+        F.sum(F.col("_ins").cast("long")).alias("inserted"),
+        F.sum(F.col("_upd").cast("long")).alias("updated"),
+        F.sum(F.col("_del").cast("long")).alias("deleted"),
+        F.sum(F.col("_stale").cast("long")).alias("stale_ignored"),
+        F.sum((F.col("_win") & F.col("_t_offset").isNotNull()).cast("long")).alias(
+            "dv_rows"
+        ),
+    )
+    dv = flags.where(F.col("_win") & F.col("_t_offset").isNotNull()).select(
+        "doc_id", F.col("_c_offset").alias("offset")
+    )
+    dv_entries = table.write_delete_files(dv, batch_id)
+
+    # heavy pass: winners only, payload read exactly once
+    deduped = lww_dedup(body)
+    winners = deduped.join(t_nar, "doc_id", "left").where(
+        F.col("_t_offset").isNull() | (F.col("offset") > F.col("_t_offset"))
+    )
+    appended = winners.select(
+        "doc_id",
+        F.when(F.col("op") != "D", F.col("tokens")).alias("tokens"),
+        F.when(F.col("op") != "D", F.col("n_tok")).alias("n_tok"),
+        F.when(F.col("op") != "D", F.col("source")).alias("source"),
+        F.col("offset").alias("last_offset"),
+        # null-as-live tombstone encoding (footer live counts for free)
+        F.when(F.col("op") == "D", F.lit(True)).alias("deleted"),
+    )
+    if extras:
+        # evolved columns the change can't carry: keep the current value
+        # (consistent with the COW preserve rule), null for brand-new keys
+        extras_src = table.apply_deletes(
+            table._read_entries(meta, touched, schema).select(
+                "doc_id", "last_offset", "deleted", *extras
+            ),
+            snap.deletes,
+        ).select("doc_id", *extras)
+        appended = appended.join(extras_src, "doc_id", "left")
+
+    nb = max(
+        4,
+        min(
+            cfg.shuffle_partitions,
+            events_in * cfg.estimated_row_bytes // cfg.target_file_bytes + 1,
+        ),
+    )
+    bounds = bounds_hint
+    if bounds is None:
+        bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
+    out = range_repartition_no_sampling(appended, "doc_id", bounds, ["doc_id"])
+    new_manifests = table.write_data_files(
+        out, batch_id, range_partition_col=None, sort_within=()
+    )
+    c_nar = {k: (v or 0) for k, v in obs_nar.get.items()}
+    # append-pass counters come free from the parquet footers (null-as-live
+    # tombstone encoding) — no Observation needed on the write
+    c_app = {
+        "rows_out": sum(m.num_records for m in new_manifests),
+        "live_rows": sum((m.num_live or 0) for m in new_manifests),
+    }
+    mor_dead = table.mor_dead_rows() + c_nar["updated"] + c_nar["deleted"]
+    table_live_rows = (
+        sum(
+            (m.num_live if m.num_live is not None else m.num_records)
+            for m in list(snap.manifests) + list(new_manifests)
+        )
+        - mor_dead
+    )
+    secs = time.time() - t0
+    lineage = {
+        "batch_id": batch_id,
+        "mode": "mor",
+        "events_in": events_in,
+        "partitions": {
+            str(r.part): {
+                "min_offset": r.min_offset,
+                "max_offset": r.max_offset,
+                "events": r.events,
+            }
+            for r in lineage_rows
+        },
+        "rows_out": c_app["rows_out"],
+        "live_rows": c_app["live_rows"],
+        "table_live_rows": table_live_rows,
+        "inserted": c_nar["inserted"],
+        "updated": c_nar["updated"],
+        "deleted": c_nar["deleted"],
+        "stale_ignored": c_nar["stale_ignored"],
+        "dv_rows": c_nar["dv_rows"],
+        "files_rewritten": 0,
+        "files_kept": len(snap.manifests),
+        "files_written": len(new_manifests),
+        "bytes_written": sum(m.num_bytes for m in new_manifests)
+        + sum(m.num_bytes for m in dv_entries),
+        "seconds": round(secs, 3),
+        "events_per_sec": round(events_in / secs, 1) if secs > 0 else None,
+    }
+    table.commit(
+        batch_id=batch_id,
+        operation="merge-mor",
+        keep_manifests=list(snap.manifests),
+        new_manifests=new_manifests,
+        lineage=lineage,
+        keep_deletes=snap.deletes,
+        new_deletes=dv_entries,
+        mor_dead_rows=mor_dead,
+    )
     return {**lineage, "_bounds": bounds}
