@@ -93,6 +93,24 @@ def _partition_probe_tokens(spark: SparkSession, nb: int) -> list[int]:
     return tokens
 
 
+def bounds_from_sample_list(sample: list[str], nb: int) -> list[str]:
+    """Quantile upper bounds for nb range buckets from an already-collected
+    key sample (order-insensitive; deduped preserving order)."""
+    if not sample:
+        return []
+    sample = sorted(sample)
+    bounds = []
+    for i in range(1, nb):
+        bounds.append(sample[min(i * len(sample) // nb, len(sample) - 1)])
+    seen: set = set()
+    out = []
+    for b in bounds:
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+    return out
+
+
 def range_bounds_from_sample(
     keys: DataFrame, col: str, nb: int, per_bucket: int = 64
 ) -> list[str]:
@@ -111,20 +129,7 @@ def range_bounds_from_sample(
         .limit(n)
         .collect()
     ]
-    if not sample:
-        return []
-    sample.sort()
-    bounds = []
-    for i in range(1, nb):
-        bounds.append(sample[min(i * len(sample) // nb, len(sample) - 1)])
-    # dedupe while preserving order (few distinct keys → fewer buckets)
-    seen: set = set()
-    out = []
-    for b in bounds:
-        if b not in seen:
-            seen.add(b)
-            out.append(b)
-    return out
+    return bounds_from_sample_list(sample, nb)
 
 
 def range_repartition_no_sampling(
@@ -275,6 +280,9 @@ def merge_into(
     lineage_rows: list | None = None,
     bounds_hint: list[str] | None = None,
     narrow_changes: DataFrame | None = None,
+    affected_paths: list[str] | None = None,
+    key_sample: list[str] | None = None,
+    changed_keys: int | None = None,
 ) -> dict:
     """End-to-end exactly-once MERGE of a raw change batch.
 
@@ -338,39 +346,57 @@ def merge_into(
     sk_win = F.max_by(
         F.struct(F.col("op"), F.col("offset")), F.struct(*ord_cols)
     )
-    sk_dedup = (
-        skinny.groupBy("doc_id")
-        .agg(sk_win.alias("_w"))
-        .select(
-            "doc_id",
-            F.col("_w.op").alias("_c_op"),
-            F.col("_w.offset").alias("_c_offset"),
+
+    def build_sk_dedup():
+        return (
+            skinny.groupBy("doc_id")
+            .agg(sk_win.alias("_w"))
+            .select(
+                "doc_id",
+                F.col("_w.op").alias("_c_op"),
+                F.col("_w.offset").alias("_c_offset"),
+            )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # narrow rows: cheap to cache
-    )
 
     snap = table.snapshot()
-    affected = set(
-        prune_affected_files(spark, list(snap.manifests), sk_dedup.select("doc_id"))
-    )
-    keep = [m for m in snap.manifests if m.path not in affected]
-    touched = [m for m in snap.manifests if m.path in affected]
-
     meta = table.metadata()
     schema = table.schema()
+    mode = getattr(cfg, "merge_mode", "cow")
+
+    # Metadata inputs (affected files, range-bound sample, changed-key
+    # count) are either precomputed by the caller — the pipeline folds ALL
+    # of them plus lineage into ONE tagged-union job per batch — or derived
+    # here with individual small jobs over a persisted narrow dedup.
+    sk_dedup = None
+    need_prune = affected_paths is None
+    need_sample = bounds_hint is None and key_sample is None
+    need_count = mode == "auto" and changed_keys is None
+    if need_prune or need_sample or need_count:
+        sk_dedup = build_sk_dedup().persist(StorageLevel.MEMORY_AND_DISK)
+
+    if affected_paths is not None:
+        affected = set(affected_paths)
+    else:
+        affected = set(
+            prune_affected_files(
+                spark, list(snap.manifests), sk_dedup.select("doc_id")
+            )
+        )
+    keep = [m for m in snap.manifests if m.path not in affected]
+    touched = [m for m in snap.manifests if m.path in affected]
 
     # --- merge-mode resolution (copy-on-write vs merge-on-read) -------------
     # COW rewrites every touched file — write amplification ∝ touched bytes.
     # MoR appends only the winners + a delete-vector sidecar — writes ∝
     # change volume. Sparse updates over a big table want MoR; dense updates
     # want COW (MoR would leave most of the table dead + DV-joined reads).
-    mode = getattr(cfg, "merge_mode", "cow")
     touched_rows = sum(m.num_records for m in touched)
     if mode == "auto":
         if touched_rows == 0:
             mode = "cow"  # pure append — identical plans, keep the cheap one
         else:
-            changed_keys = sk_dedup.count()  # narrow cached rows, tiny job
+            if changed_keys is None:
+                changed_keys = sk_dedup.count()  # narrow cached rows, tiny job
             mode = (
                 "mor"
                 if changed_keys <= cfg.mor_max_changed_ratio * touched_rows
@@ -378,10 +404,12 @@ def merge_into(
             )
     if mode == "mor" and touched_rows > 0:
         result = _merge_mor(
-            table, body, sk_dedup, batch_id, cfg, snap, meta, schema,
-            touched, lineage_rows, bounds_hint, t0,
+            table, body, sk_dedup if sk_dedup is not None else build_sk_dedup(),
+            batch_id, cfg, snap, meta, schema,
+            touched, lineage_rows, bounds_hint, key_sample, t0,
         )
-        sk_dedup.unpersist()
+        if sk_dedup is not None:
+            sk_dedup.unpersist()
         return result
     # volume-sized write fan-out: ≈ one range bucket per target_file_bytes
     # of output, capped by shuffle_partitions (core-count-sized shuffles on
@@ -393,9 +421,12 @@ def merge_into(
     # callers may pass back the previous batch's bounds and skip the
     # sampling job entirely; clustering quality degrades gracefully.
     bounds = bounds_hint
+    if bounds is None and key_sample is not None:
+        bounds = bounds_from_sample_list(list(key_sample), nb)
     if bounds is None:
         bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
-    sk_dedup.unpersist()
+    if sk_dedup is not None:
+        sk_dedup.unpersist()
 
     # --- heavy pass (exactly once): full dedup → join → range write ---------
     # Exact merge counters ride the write pass as an Observation — safe
@@ -498,6 +529,7 @@ def _merge_mor(
     touched: list,
     lineage_rows: list,
     bounds_hint: list[str] | None,
+    key_sample: list[str] | None,
     t0: float,
 ) -> dict:
     """Merge-on-read apply: append ONLY the winning rows as new data files
@@ -603,6 +635,8 @@ def _merge_mor(
         ),
     )
     bounds = bounds_hint
+    if bounds is None and key_sample is not None:
+        bounds = bounds_from_sample_list(list(key_sample), nb)
     if bounds is None:
         bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
     out = range_repartition_no_sampling(appended, "doc_id", bounds, ["doc_id"])

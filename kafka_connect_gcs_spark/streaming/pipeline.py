@@ -174,18 +174,101 @@ class CdcPipeline:
         if "delivery_seq" in raw.columns:
             narrow_cols.append("delivery_seq")
         narrow = flagged.select(*narrow_cols).persist(StorageLevel.MEMORY_AND_DISK)
-        stats = (
-            narrow.groupBy(
-                F.col(part_col) if part_col else F.lit(0).alias("part")
-            )
+
+        # --- ONE metadata job per batch: a tagged union of every small
+        # metadata query the batch needs — per-partition lineage stats,
+        # affected-file pruning, the range-bound key sample, and the
+        # changed-key count for merge-mode choice. Driver job dispatch is
+        # the serial fixed cost in micro-batch mode (~3-4 jobs/batch in
+        # round 1); this folds them into a single collect over the cached
+        # narrow projection.
+        okn = narrow.where(F.col("_ok"))
+        out_cols = ["tag", "s", "n1", "n2", "n3", "n4"]
+
+        def shaped(df):
+            return df.select(*out_cols)
+
+        b_stat = shaped(
+            narrow.groupBy(F.col(part_col) if part_col else F.lit(0).alias("part"))
             .agg(
-                F.min(F.when(F.col("_ok"), F.col("offset"))).alias("min_offset"),
-                F.max(F.when(F.col("_ok"), F.col("offset"))).alias("max_offset"),
-                F.sum(F.col("_ok").cast("long")).alias("events"),
-                F.sum((~F.col("_ok")).cast("long")).alias("bad"),
+                F.min(F.when(F.col("_ok"), F.col("offset"))).alias("n1"),
+                F.max(F.when(F.col("_ok"), F.col("offset"))).alias("n2"),
+                F.sum(F.col("_ok").cast("long")).alias("n3"),
+                F.sum((~F.col("_ok")).cast("long")).alias("n4"),
             )
-            .collect()
+            .select(
+                F.lit("stat").alias("tag"),
+                F.col(part_col if part_col else "part").cast("string").alias("s"),
+                "n1", "n2", "n3", "n4",
+            )
         )
+        branches = [b_stat]
+        nulls = [F.lit(None).cast("long").alias(c) for c in ("n1", "n2", "n3", "n4")]
+        snap = self.table.snapshot()
+        ranged = [
+            (m.path, m.min_doc_id, m.max_doc_id)
+            for m in snap.manifests
+            if m.min_doc_id is not None
+        ]
+        no_stats_paths = [m.path for m in snap.manifests if m.min_doc_id is None]
+        if ranged:
+            ranges_df = self.spark.createDataFrame(
+                ranged, "path string, lo string, hi string"
+            )
+            branches.append(
+                shaped(
+                    okn.select("doc_id")
+                    .distinct()
+                    .join(
+                        F.broadcast(ranges_df),
+                        (F.col("doc_id") >= F.col("lo"))
+                        & (F.col("doc_id") <= F.col("hi")),
+                    )
+                    .select("path")
+                    .distinct()
+                    .select(F.lit("path").alias("tag"), F.col("path").alias("s"), *nulls)
+                )
+            )
+        hint = None
+        if self._bounds is not None and self._bounds_age < self.BOUNDS_REFRESH_EVERY:
+            hint = self._bounds
+        if hint is None:
+            n_sample = self.cfg.shuffle_partitions * 64
+            branches.append(
+                shaped(
+                    okn.select("doc_id")
+                    .orderBy(F.xxhash64(F.col("doc_id")))
+                    .limit(n_sample)
+                    .select(
+                        F.lit("bound").alias("tag"), F.col("doc_id").alias("s"), *nulls
+                    )
+                )
+            )
+        if self.cfg.merge_mode == "auto" and snap.manifests:
+            branches.append(
+                shaped(
+                    okn.agg(F.count_distinct(F.col("doc_id")).alias("n1")).select(
+                        F.lit("cnt").alias("tag"),
+                        F.lit(None).cast("string").alias("s"),
+                        F.col("n1"),
+                        *nulls[1:],
+                    )
+                )
+            )
+        meta_df = branches[0]
+        for b in branches[1:]:
+            meta_df = meta_df.unionByName(b)
+        rows = meta_df.collect()
+
+        from collections import namedtuple
+
+        StatsRow = namedtuple("StatsRow", "part min_offset max_offset events bad")
+        stats = [
+            StatsRow(r.s, r.n1, r.n2, r.n3, r.n4) for r in rows if r.tag == "stat"
+        ]
+        affected_paths = no_stats_paths + [r.s for r in rows if r.tag == "path"]
+        key_sample = [r.s for r in rows if r.tag == "bound"] or None
+        changed_keys = next((r.n1 for r in rows if r.tag == "cnt"), None)
         n_bad = int(sum(r.bad for r in stats))
         n_valid = int(sum(r.events for r in stats))
         if n_valid == 0:
@@ -205,13 +288,13 @@ class CdcPipeline:
             self.ckpt.append_lineage(lineage)
             return lineage
         valid = flagged.where(F.col("_ok")).drop("_ok")
-        hint = None
-        if self._bounds is not None and self._bounds_age < self.BOUNDS_REFRESH_EVERY:
-            hint = self._bounds
         lineage = merge_into(
             self.table, valid, batch_id, self.cfg,
             lineage_rows=stats, bounds_hint=hint,
             narrow_changes=narrow.where(F.col("_ok")).drop("_ok"),
+            affected_paths=affected_paths,
+            key_sample=key_sample,
+            changed_keys=changed_keys,
         )
         narrow.unpersist()
         self._bounds = lineage.pop("_bounds", self._bounds)
