@@ -59,6 +59,17 @@ class EngineConfig:
     merge_mode: str = "auto"
     #: auto mode picks MoR when changed_keys / touched_file_rows ≤ this.
     mor_max_changed_ratio: float = 0.2
+    #: automatic MoR maintenance: after a table commit the pipeline folds
+    #: delete vectors into the data files (icebox.maintenance.fold_deletes)
+    #: once DV-dead rows exceed this fraction of physically-stored rows —
+    #: the read-amplification bound: every reconciling read joins against
+    #: the DVs until they are folded. Pure metadata check (manifest sums +
+    #: the mor_dead_rows counter), zero extra Spark jobs per batch. None
+    #: disables auto-fold (maintenance stays manual).
+    auto_fold_dead_ratio: float | None = 0.25
+    #: don't bother folding below this many dead rows, whatever the ratio
+    #: (a fold rewrites overlapping files — pointless for tiny DVs).
+    auto_fold_min_dead: int = 10_000
 
     # --- payload -----------------------------------------------------------
     #: token vocabulary bound for validation (exclusive upper bound).

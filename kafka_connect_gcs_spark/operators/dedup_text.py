@@ -62,11 +62,19 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (n=1 → word set)."""
+    """Distinct word n-gram shingles of a text column (n=1 → word set).
+
+    Docs with fewer than ``n`` words produce an EMPTY shingle set (matching
+    the DuckDB oracle's ``range(1, greatest(len-2,0)+1)``). The guard also
+    avoids Spark's descending-sequence gotcha: ``sequence(1, 0)`` yields
+    ``[1, 0]`` (it counts DOWN when start > stop) and ``slice(ws, 0, n)``
+    then throws — so short docs would crash, not merely mis-shingle."""
     ws = words(col)
     if n == 1:
         return F.array_distinct(ws)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
     )
@@ -396,10 +404,14 @@ def simhash_pairs(
     ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     a = exploded.select("blk", "key", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = exploded.select("blk", "key", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Hamming filter BEFORE dropDuplicates: the distance is a deterministic
+    # function of the pair, so filtering first is equivalent — and the dedup
+    # exchange then shuffles only surviving pairs instead of every bucket
+    # collision (on dense corpora that is most of the join output).
     return (
         a.join(b, ["blk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -37,7 +37,7 @@ from kafka_connect_gcs_spark.config import EngineConfig
 from kafka_connect_gcs_spark.icebox.table import IceboxTable
 from kafka_connect_gcs_spark.metrics import Metrics, create_metrics
 from kafka_connect_gcs_spark.operators.merge import CDC_TABLE_FIELDS, merge_into
-from kafka_connect_gcs_spark.operators.validate import split_valid, valid_expr
+from kafka_connect_gcs_spark.operators.validate import valid_expr
 
 
 def _list_segments(feed_dir: str) -> list[str]:
@@ -120,8 +120,18 @@ class CdcPipeline:
         if not segments:
             return None
         batch_id = f"{segments[0]}..{segments[-1]}"
+        paths = [os.path.join(self.cfg.feed_path, s) for s in segments]
+        raw = self.spark.read.parquet(*paths)
+        return self.run_batch_df(raw, batch_id, segments=segments)
+
+    def run_batch_df(
+        self, raw, batch_id: str, segments: list[str] | None = None
+    ) -> dict | None:
+        """Consume one already-loaded DataFrame as a micro-batch (the
+        Structured Streaming foreachBatch entry point): same plan, metrics,
+        and auto-maintenance as the segment loop."""
         with self.metrics.time("batch", {"batch_id": batch_id}):
-            lineage = self._run_batch_inner(segments, batch_id)
+            lineage = self.apply_batch_df(raw, batch_id, segments=segments)
         if lineage is not None:
             tags = {"batch_id": batch_id}
             self.metrics.meter(lineage.get("events_in", 0), "events.in", tags)
@@ -136,11 +146,42 @@ class CdcPipeline:
             if "table_live_rows" in lineage:
                 live = lineage["table_live_rows"]
                 self.metrics.gauge("table.live_rows", None, lambda: live)
+            self._maybe_fold_deletes(batch_id)
         return lineage
 
-    def _run_batch_inner(self, segments: list[str], batch_id: str) -> dict | None:
-        paths = [os.path.join(self.cfg.feed_path, s) for s in segments]
-        raw = self.spark.read.parquet(*paths)
+    def _maybe_fold_deletes(self, batch_id: str) -> dict | None:
+        """Auto-schedule DV folding when read amplification crosses the
+        configured bound. The trigger is metadata-only (mor_dead_rows
+        counter vs manifest record sums); the fold itself commits its own
+        idempotent snapshot, so a crash mid-fold replays harmlessly."""
+        ratio = self.cfg.auto_fold_dead_ratio
+        if ratio is None:
+            return None
+        dead = self.table.mor_dead_rows()
+        if dead < self.cfg.auto_fold_min_dead:
+            return None
+        stored = sum(m.num_records for m in self.table.snapshot().manifests)
+        if stored == 0 or dead / stored < ratio:
+            return None
+        from kafka_connect_gcs_spark.icebox.maintenance import fold_deletes
+
+        with self.metrics.time("maintenance.fold_deletes", {"batch_id": batch_id}):
+            res = fold_deletes(self.table)
+        if not res.get("skipped"):
+            res["op"] = "fold-deletes"
+            res["ts"] = time.time()
+            self.ckpt.append_lineage(res)
+            self.metrics.meter(res.get("dv_rows", 0), "maintenance.dv_rows_folded")
+        return res
+
+    def apply_batch_df(
+        self, raw, batch_id: str, segments: list[str] | None = None
+    ) -> dict | None:
+        """Apply one micro-batch DataFrame: route → validate → fused metadata
+        job → MERGE → lineage. Shared by the explicit loop (which reads
+        segment parquet itself) and the Structured Streaming variant (which
+        gets the DataFrame from foreachBatch) so both run the same plan —
+        including the single tagged-union metadata collect."""
         # A4: static partition filters (Catalyst predicates, pushed to scan)
         if self.cfg.parts_allow is not None and "part" in raw.columns:
             raw = raw.where(F.col("part").isin(list(self.cfg.parts_allow)))
@@ -281,7 +322,7 @@ class CdcPipeline:
                 "batch_id": batch_id,
                 "events_in": 0,
                 "partitions": {},
-                "segments": segments,
+                "segments": segments or [],
                 "quarantined": n_bad,
                 "ts": time.time(),
             }
@@ -299,7 +340,7 @@ class CdcPipeline:
         narrow.unpersist()
         self._bounds = lineage.pop("_bounds", self._bounds)
         self._bounds_age = 0 if hint is None else self._bounds_age + 1
-        lineage["segments"] = segments
+        lineage["segments"] = segments or []
         lineage["quarantined"] = n_bad
         lineage["ts"] = time.time()
         self.ckpt.append_lineage(lineage)
@@ -398,17 +439,20 @@ def run_structured_streaming(
     ``foreachBatch`` merging into the same icebox table. Spark's own
     checkpoint handles feed position; the icebox batch_id guard makes the
     sink side idempotent, giving end-to-end exactly-once (the standard
-    foreachBatch recipe). Used by tests to show parity with the loop."""
-    if IceboxTable.exists(config.table_path):
-        table = IceboxTable.load(spark, config.table_path)
-    else:
-        table = IceboxTable.create(spark, config.table_path, CDC_TABLE_FIELDS)
+    foreachBatch recipe). Used by tests to show parity with the loop.
+
+    The sink delegates to :meth:`CdcPipeline.apply_batch_df`, so streaming
+    batches run the SAME plan as the loop — routing filters, fused
+    single-job metadata collect, merge-mode choice, metrics, auto DV
+    folding — instead of a separate (slower, 3-4 jobs/batch) code path."""
+    pipe = CdcPipeline(spark, config)
     sample = spark.read.parquet(config.feed_path)
     lineages: list[dict] = []
 
     def sink(batch_df, batch_id: int):
-        valid, _bad = split_valid(batch_df, config.vocab_size)
-        lineages.append(merge_into(table, valid, f"ss-{batch_id}", config))
+        lineage = pipe.run_batch_df(batch_df, f"ss-{batch_id}")
+        if lineage is not None:
+            lineages.append(lineage)
 
     stream = (
         spark.readStream.schema(sample.schema)

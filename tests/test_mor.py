@@ -173,6 +173,41 @@ def test_fold_deletes_purges_and_preserves_state(spark, feed):
     assert res2.get("skipped")
 
 
+def test_auto_fold_triggers_during_pipeline_run(spark, feed):
+    """With an aggressive auto-fold bound the pipeline schedules
+    fold_deletes itself mid-run: DVs are folded away, state is unchanged,
+    and the maintenance commit shows up in the lineage log."""
+    pipe = CdcPipeline(
+        spark,
+        _cfg(
+            feed,
+            "autofold",
+            merge_mode="mor",
+            auto_fold_dead_ratio=0.01,
+            auto_fold_min_dead=1,
+        ),
+    )
+    pipe.run_available()
+    assert _state(pipe.table) == _oracle(feed["feed"])
+    assert pipe.table.mor_dead_rows() == 0
+    assert not pipe.table.snapshot().deletes
+    folds = [ln for ln in pipe.ckpt.lineage() if ln.get("op") == "fold-deletes"]
+    assert folds and all(f["files_rewritten"] > 0 for f in folds)
+    # resume still works after a maintenance commit interleaved with batches
+    pipe2 = CdcPipeline(
+        spark,
+        _cfg(
+            feed,
+            "autofold",
+            merge_mode="mor",
+            auto_fold_dead_ratio=0.01,
+            auto_fold_min_dead=1,
+        ),
+    )
+    assert pipe2.run_available() == []  # checkpoint says: nothing left
+    assert _state(pipe2.table) == _oracle(feed["feed"])
+
+
 def test_compact_with_dvs_purges_dead_rows(spark, feed):
     pipe = CdcPipeline(spark, _cfg(feed, "cmp", merge_mode="mor"))
     pipe.run_available()

@@ -189,6 +189,31 @@ def test_neardup_lsh_subset_of_exact(spark, emb):
     assert approx <= exact
 
 
+def test_word_shingles_short_docs(spark):
+    """Docs with fewer than n words yield an EMPTY shingle set (matching
+    the DuckDB oracle's range(1, greatest(len-2,0)+1)) — and must not crash
+    on Spark's descending sequence(1, 0) → slice(ws, 0, n) path."""
+    from kafka_connect_gcs_spark.operators.dedup_text import word_shingles
+
+    df = spark.createDataFrame(
+        [("a", ""), ("b", "one"), ("c", "one two"),
+         ("d", "one two three"), ("e", "one two three four")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got["a"] == [] and got["b"] == [] and got["c"] == []
+    assert got["d"] == ["one two three"]
+    assert got["e"] == ["one two three", "two three four"]
+    # jaccard over short docs: no crash, no pairs (empty sets never match)
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("d", "e")}
+
+
 def test_multimodal_plumbing(spark):
     from kafka_connect_gcs_spark.operators.multimodal import (
         FakeCodec,
