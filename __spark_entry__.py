@@ -351,6 +351,60 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3, blocks=4, portable=True)
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing k-gram fingerprints (rolling-hash document sketch) in
+    engine-portable form: md5-derived 60-bit gram hashes, window minima,
+    distinct + sort — DuckDB replays every step bit-for-bit. Production
+    path uses xxhash64 grams (operators/text.winnow_fingerprint)."""
+    from kafka_connect_gcs_spark.operators.text import winnow_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 300
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            ",", winnow_fingerprint(F.col("text"), k=8, w=4, portable=True)
+            .cast("array<string>")
+        ).alias("winnow"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end through a REAL Arrow-batched
+    mapInPandas pass: binary payloads → per-item codec features (FakeCodec:
+    sha256-derived uint16 lanes — deterministic stand-in for image/audio
+    decode, multimodal.py docstring). Features re-quantized to their exact
+    uint16 values so DuckDB can rebuild them from the hex digest."""
+    from kafka_connect_gcs_spark.operators.multimodal import (
+        MediaPipeline,
+        synthesize_media_portable,
+    )
+
+    media = synthesize_media_portable(spark, 240)
+    feats = MediaPipeline().extract_features(media)
+    q = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * 65535.0).cast("int").cast("string"),
+    )
+    return feats.select(
+        "media_id", "kind", F.concat_ws(",", q).alias("feature_q")
+    )
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (metadata-only sequence/explode — pure
+    Catalyst; the actual frame decode would be a second mapInPandas over
+    (payload, frame_ts_ms))."""
+    from kafka_connect_gcs_spark.operators.multimodal import (
+        MediaPipeline,
+        synthesize_media_portable,
+    )
+
+    media = synthesize_media_portable(spark, 240)
+    return MediaPipeline().frame_sample_plan(media, every_ms=1000)
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/asof.py, union strategy): for each
     purchase, the same user's most recent view at-or-before it."""
@@ -595,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_minhash": q_text_minhash,
+        "text_winnow": q_text_winnow,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -875,6 +932,52 @@ def oracle_sql() -> dict[str, str]:
         "text_minhash": f"""
           WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents)
           SELECT doc_id, array_to_string([{minhash8}], ',') AS sig FROM w
+        """,
+        "text_winnow": """
+          WITH g AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE doc_id < 300
+          ),
+          h AS (
+            SELECT doc_id,
+              CASE WHEN n >= 8 THEN list_transform(range(1, n - 6),
+                i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT)
+              ELSE []::BIGINT[] END AS hs
+            FROM g
+          ),
+          w AS (
+            SELECT doc_id,
+              CASE WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs) - 2),
+                     j -> list_aggregate(hs[j:j+3], 'min'))
+                   WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+                   ELSE []::BIGINT[] END AS wins
+            FROM h
+          )
+          SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(wins)), ',') AS winnow
+          FROM w
+        """,
+        "multimodal_features": f"""
+          WITH m AS (
+            SELECT i AS media_id,
+                   ['image','audio','video'][(i % 3)::INT + 1] AS kind,
+                   sha256(sha256('m' || CAST(i AS VARCHAR))
+                          || sha256('n' || CAST(i AS VARCHAR))) AS h
+            FROM (SELECT unnest(range(240)) AS i)
+          )
+          SELECT media_id, kind,
+                 array_to_string([{", ".join(
+                     f"('0x' || substr(h, {4 * i + 1}, 2))::INT"
+                     f" + 256 * ('0x' || substr(h, {4 * i + 3}, 2))::INT"
+                     for i in range(16)
+                 )}], ',') AS feature_q
+          FROM m
+        """,
+        "multimodal_frame_plan": """
+          SELECT i AS media_id,
+                 unnest(range(0, (i * 97) % 60000 + 1000, 1000))::INT AS frame_ts_ms
+          FROM (SELECT unnest(range(240)) AS i)
+          WHERE (i % 3) = 2
         """,
         "dedup_exact_docs": """
           WITH u AS (

@@ -191,6 +191,15 @@ def bench_production_ops(spark) -> dict:
     t0 = time.time()
     ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10).count()
     out["ann_topk_ivf"] = round(time.time() - t0, 3)
+    from kafka_connect_gcs_spark.operators.text import winnow_fingerprint
+
+    t0 = time.time()
+    # aggregate over the fingerprint sizes forces the projection (a bare
+    # count() would let Catalyst prune the winnow column away entirely)
+    d.select(winnow_fingerprint(F.col("text")).alias("w")).agg(
+        F.sum(F.size("w"))
+    ).collect()
+    out["text_winnow"] = round(time.time() - t0, 3)
     return out
 
 

@@ -125,6 +125,31 @@ class MediaPipeline:
         )
 
 
+def synthesize_media_portable(spark, n: int = 200) -> DataFrame:
+    """Deterministic fake media table where EVERY column is a pure ANSI-SQL
+    function of the row id — so a DuckDB oracle can rebuild the table and
+    replay the whole feature pipeline bit-for-bit. The payload is the UTF-8
+    bytes of a 128-hex-char string (a real ``binary`` column to Spark;
+    reproducible as a VARCHAR to DuckDB's string-only sha256)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    hexstr = F.concat(
+        F.sha2(F.concat(F.lit("m"), F.col("id")), 256),
+        F.sha2(F.concat(F.lit("n"), F.col("id")), 256),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        hexstr.cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("id") * 37 % 1920 + 16).cast("int").alias("width"),
+        (F.col("id") * 53 % 1080 + 16).cast("int").alias("height"),
+        (F.col("id") * 97 % 60_000 + 1000).cast("int").alias("duration_ms"),
+    )
+
+
 def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived from
     the id via sha2 — stable across engines and runs."""

@@ -116,6 +116,51 @@ def fingerprint(col: Column) -> Column:
     return F.md5(col)
 
 
+def winnow_fingerprint(
+    col: Column, k: int = 8, w: int = 4, portable: bool = False
+) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character k-gram, slide a window of ``w`` consecutive k-gram
+    hashes, keep each window's minimum, return the distinct minima sorted.
+    Guarantees: any shared substring of length ≥ k+w-1 contributes at least
+    one common fingerprint hash — the standard local-similarity sketch for
+    plagiarism/near-dup detection.
+
+    A true rolling hash is an efficiency trick for sequential scanners; on a
+    columnar engine the k-grams are materialized per row and hashed
+    vectorized inside codegen, which is the Spark-native equivalent.
+    portable=True uses md5-derived 60-bit ints (bit-identical in DuckDB, so
+    the oracle replays the whole pipeline); default is xxhash64 (one JVM
+    hash per gram — the production path)."""
+    n = F.length(col)
+    grams = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    if portable:
+        def gram_hash(i):
+            return F.conv(
+                F.substring(F.md5(F.substring(col, i, k)), 1, 15), 16, 10
+            ).cast("long")
+    else:
+        def gram_hash(i):
+            return F.xxhash64(F.substring(col, i, k))
+    hs = F.transform(grams, gram_hash)
+    nh = F.size(hs)
+    wins = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - (w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        ),
+    ).otherwise(
+        # short docs: a single fingerprint = min over all gram hashes
+        F.when(nh > 0, F.array(F.array_min(hs))).otherwise(
+            F.expr("CAST(array() AS array<bigint>)")
+        )
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
 def minhash_signature_words(col: Column, num_hashes: int = 16) -> Column:
     """Bottom-sketch fingerprint over the word set: for each of H seeded
     hash functions take min over words of md5-derived 60-bit ints. Built

@@ -214,6 +214,35 @@ def test_word_shingles_short_docs(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {("d", "e")}
 
 
+def test_winnow_guarantee_and_short_docs(spark):
+    """Winnowing invariant: two docs sharing a substring of length ≥ k+w-1
+    share at least one fingerprint hash (both hash paths); sub-k docs get
+    exactly one fingerprint; empty docs none."""
+    from kafka_connect_gcs_spark.operators.text import winnow_fingerprint
+
+    shared = "the quick brown fox jumps over"  # 30 chars ≥ 8+4-1
+    df = spark.createDataFrame(
+        [("a", f"AAAA {shared} BBBB"), ("b", f"zzz {shared} qqq"),
+         ("c", "totally unrelated content here"),
+         ("d", "ten chars!"),  # k ≤ 10 < k+w-1: fewer grams than the window
+         ("e", ""), ("f", "tiny")],  # shorter than one k-gram: no prints
+        "doc_id string, text string",
+    )
+    for portable in (False, True):
+        fp = {
+            r.doc_id: set(r.w)
+            for r in df.select(
+                "doc_id",
+                winnow_fingerprint(F.col("text"), k=8, w=4, portable=portable)
+                .alias("w"),
+            ).collect()
+        }
+        assert fp["a"] & fp["b"], "shared substring must share a fingerprint"
+        assert not (fp["a"] & fp["c"] and fp["b"] & fp["c"]) or fp["c"]
+        assert len(fp["d"]) == 1  # sub-window doc: single min-hash print
+        assert fp["e"] == set() and fp["f"] == set()
+
+
 def test_multimodal_plumbing(spark):
     from kafka_connect_gcs_spark.operators.multimodal import (
         FakeCodec,
