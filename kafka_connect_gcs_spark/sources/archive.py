@@ -1,0 +1,473 @@
+"""Block-gzip archive source & sink — the reference's ACTUAL storage layout.
+
+A user of the reference connector family has buckets full of::
+
+    {prefix}/{yyyy-MM-dd}/{topic}-{ppppp}-{oooooooooooo}.gz
+    {prefix}/{yyyy-MM-dd}/{topic}-{ppppp}-{oooooooooooo}.index.json
+    {prefix}/last_chunk_index.{topic}-{ppppp}.txt
+
+where the ``.gz`` is a concatenation of independently-decompressible GZIP
+members ("chunks", each ≤ compressed_block_size uncompressed —
+BlockGZIPFileWriter.java:34-35,95-105), the index carries per-chunk stats
+``first_record_offset/num_records/byte_offset/byte_length/
+byte_length_uncompressed`` (ChunkDescriptor.java:5-22, written at
+BlockGZIPFileWriter.java:242-250), and the cursor names the most recent
+index key (system_test/run.py:214-218). This module reads and writes that
+layout with Spark, so existing archives keep working.
+
+Scale design (NOT the reference's sequential iterator):
+
+* READ planning is driver-side metadata only — list + regex-parse names
+  (A1/A2), suffix filter (A3), topic/partition predicates (A4), checkpoint
+  file skip by lexicographic key (A5), index point-lookup for mid-file
+  resume (A6, ChunksIndex.java:34-37). The tiny index JSONs are the only
+  thing the driver opens.
+* The work unit is a CHUNK, not a file: every gzip member is independently
+  decompressible, so the plan explodes each file into (byte_offset,
+  byte_length) ranges and ``mapInPandas`` decodes ranges in parallel with
+  bounded (≤ block-size) memory per task — ranged reads the reference only
+  uses for resume (GCSFilesReader.java:278-297) become the universal scan
+  path. A 100 TB archive reads with chunk-count parallelism.
+* WRITE groups by (topic, partition) via ``applyInPandas`` — one writer per
+  topic-partition exactly like one Connect task owns a partition; data +
+  index upload from executors, then cursors from the driver, preserving the
+  reference's data→index→cursor commit order (run.py:202-218). File names
+  come from the first record's offset so a replayed flush overwrites
+  instead of duplicating (A21, BlockGZIPFileWriter.java:161-167).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat
+
+#: {topic}-{ppppp}-{oooooooooooo}.gz — GCSFilesReader.java:58-63
+KEY_RE = re.compile(r"(?:.*/)?(?P<topic>.+)-(?P<part>\d{5})-(?P<offset>\d{12})\.gz$")
+
+RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField(
+            "headers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.BinaryType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ChunkDescriptor:
+    """ChunkDescriptor.java:5-22."""
+
+    first_record_offset: int
+    num_records: int
+    byte_offset: int
+    byte_length: int
+    byte_length_uncompressed: int
+
+    def to_json(self) -> dict:
+        return {
+            "first_record_offset": self.first_record_offset,
+            "num_records": self.num_records,
+            "byte_offset": self.byte_offset,
+            "byte_length": self.byte_length,
+            "byte_length_uncompressed": self.byte_length_uncompressed,
+        }
+
+
+@dataclass(frozen=True)
+class ChunksIndex:
+    """ChunksIndex.java — with the chunkContaining point lookup (:34-37)."""
+
+    chunks: tuple
+
+    @staticmethod
+    def from_json(d: dict) -> "ChunksIndex":
+        return ChunksIndex(
+            tuple(ChunkDescriptor(**c) for c in d.get("chunks", []))
+        )
+
+    def to_json(self) -> dict:
+        return {"chunks": [c.to_json() for c in self.chunks]}
+
+    def chunk_containing(self, offset: int) -> "ChunkDescriptor | None":
+        for c in self.chunks:
+            if c.num_records and c.first_record_offset + c.num_records > offset:
+                return c
+        return None
+
+    def total_size(self) -> int:
+        return sum(c.byte_length for c in self.chunks)
+
+    def last_offset(self) -> int:
+        data = [c for c in self.chunks if c.num_records]
+        if not data:
+            return -1
+        last = data[-1]
+        return last.first_record_offset + last.num_records - 1
+
+
+def data_file_name(topic: str, partition: int, first_offset: int) -> str:
+    """BlockGZIPFileWriter.java:161-167 — replay-idempotent naming."""
+    return f"{topic}-{partition:05d}-{first_offset:012d}.gz"
+
+
+def index_key_for(data_key: str) -> str:
+    return data_key[: -len(".gz")] + ".index.json"
+
+
+def cursor_key(prefix: str, topic: str, partition: int) -> str:
+    return os.path.join(prefix, f"last_chunk_index.{topic}-{partition:05d}.txt")
+
+
+# ---------------------------------------------------------------------------
+# writer (sink): A18 chunked write, A19 index write, A20 commit order, A21
+# idempotent naming, A30 header chunk
+# ---------------------------------------------------------------------------
+
+
+def _write_block_gzip(
+    path: str,
+    frames: "list[bytes]",
+    first_offset: int,
+    chunk_threshold: int,
+    header_bytes: "bytes | None" = None,
+) -> ChunksIndex:
+    """One block-gzip file: rotate to a new gzip member when the incoming
+    record would push the chunk past the uncompressed threshold
+    (BlockGZIPFileWriter.java:191-200). An optional file header becomes its
+    OWN zero-record chunk so readers can skip it by index alone (A30,
+    BlockGZIPFileWriter.java:142-150)."""
+    chunks: list[ChunkDescriptor] = []
+    out = io.BytesIO()
+
+    def flush_chunk(raw: bytes, first: int, count: int) -> None:
+        at = out.tell()
+        blob = gzip.compress(raw, mtime=0)
+        out.write(blob)
+        chunks.append(
+            ChunkDescriptor(
+                first_record_offset=first,
+                num_records=count,
+                byte_offset=at,
+                byte_length=len(blob),
+                byte_length_uncompressed=len(raw),
+            )
+        )
+
+    if header_bytes:
+        flush_chunk(header_bytes, first_offset, 0)
+    buf = bytearray()
+    buf_first = first_offset
+    buf_count = 0
+    for frame in frames:
+        if buf and len(buf) + len(frame) > chunk_threshold:
+            flush_chunk(bytes(buf), buf_first, buf_count)
+            buf_first += buf_count
+            buf, buf_count = bytearray(), 0
+        buf += frame
+        buf_count += 1
+    if buf:
+        flush_chunk(bytes(buf), buf_first, buf_count)
+    tmp = path + ".inprogress"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(out.getvalue())
+    os.replace(tmp, path)  # replay overwrites the same key — never duplicates
+    return ChunksIndex(tuple(chunks))
+
+
+def write_archive(
+    records: DataFrame,
+    root: str,
+    date_prefix: str,
+    fmt=None,
+    chunk_threshold: int = 64 * 1024 * 1024,
+    header_bytes: "bytes | None" = None,
+) -> list[dict]:
+    """Flush a batch of (topic, partition, offset, key, value[, headers])
+    rows into the reference layout under ``{root}/{date_prefix}/``. One
+    file per (topic, partition) named by its first offset. Returns the
+    per-file manifest (and writes cursors LAST, from the driver, after all
+    data+index uploads succeeded — the reference's commit order)."""
+    fmt = fmt or ByteLengthFormat(include_keys=True)
+    out_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("data_key", T.StringType()),
+            T.StructField("index_key", T.StringType()),
+            T.StructField("first_offset", T.LongType()),
+            T.StructField("num_records", T.LongType()),
+            T.StructField("num_chunks", T.IntegerType()),
+        ]
+    )
+    day_dir = os.path.join(root, date_prefix)
+
+    def flush_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("offset")
+        topic = str(pdf["topic"].iloc[0])
+        part = int(pdf["partition"].iloc[0])
+        first = int(pdf["offset"].iloc[0])
+        has_headers = "headers" in pdf.columns
+        frames = []
+        for i in range(len(pdf)):
+            k = pdf["key"].iloc[i]
+            v = pdf["value"].iloc[i]
+            h = pdf["headers"].iloc[i] if has_headers else None
+            hl = None
+            if h is not None and len(h):
+                hl = [
+                    (x["key"], None if x["value"] is None else bytes(x["value"]))
+                    for x in h
+                ]
+            frames.append(
+                fmt.encode(
+                    None if k is None else bytes(k),
+                    None if v is None else bytes(v),
+                    hl,
+                )
+            )
+        name = data_file_name(topic, part, first)
+        data_path = os.path.join(day_dir, name)
+        index = _write_block_gzip(
+            data_path, frames, first, chunk_threshold, header_bytes
+        )
+        ipath = index_key_for(data_path)
+        tmp = ipath + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump(index.to_json(), f)
+        os.replace(tmp, ipath)
+        return pd.DataFrame(
+            [
+                {
+                    "topic": topic,
+                    "partition": part,
+                    "data_key": os.path.join(date_prefix, name),
+                    "index_key": index_key_for(os.path.join(date_prefix, name)),
+                    "first_offset": first,
+                    "num_records": len(pdf),
+                    "num_chunks": len(index.chunks),
+                }
+            ]
+        )
+
+    manifest = [
+        r.asDict()
+        for r in records.groupBy("topic", "partition")
+        .applyInPandas(flush_group, schema=out_schema)
+        .collect()
+    ]
+    # cursor update AFTER every data+index pair landed (run.py:202-218)
+    for m in manifest:
+        cpath = cursor_key(root, m["topic"], m["partition"])
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        tmp = cpath + ".inprogress"
+        with open(tmp, "w") as f:
+            f.write(m["index_key"])
+        os.replace(tmp, cpath)
+    return manifest
+
+
+def read_cursor(root: str, topic: str, partition: int) -> "str | None":
+    p = cursor_key(root, topic, partition)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+# ---------------------------------------------------------------------------
+# reader (source): A1-A13 as a chunk-parallel DataFrame scan
+# ---------------------------------------------------------------------------
+
+
+def _list_data_keys(root: str) -> list[str]:
+    keys = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".gz"):
+                keys.append(
+                    os.path.relpath(os.path.join(dirpath, fn), root)
+                )
+    # lexicographic key order IS offset order (zero-padded names,
+    # GCSFilesReader.java:44-47)
+    return sorted(keys)
+
+
+def _load_index(root: str, data_key: str) -> "ChunksIndex | None":
+    p = os.path.join(root, index_key_for(data_key))
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return ChunksIndex.from_json(json.load(f))
+
+
+def plan_archive_scan(
+    root: str,
+    topics: "set[str] | None" = None,
+    topics_ignore: "set[str] | None" = None,
+    partitions: "set[int] | None" = None,
+    offsets: "dict[tuple[str, int], tuple[str, int]] | None" = None,
+    start_marker: "str | None" = None,
+) -> list[dict]:
+    """Driver-side scan plan: one row per gzip chunk to decode.
+
+    ``offsets`` maps (topic, partition) → (data_key, last_committed_offset),
+    the reference's Map<GCSPartition, GCSOffset> (GCSSourceTask.java:110-124):
+    files with key < committed key are skipped whole (A5), the committed
+    file itself resumes from chunkContaining(offset+1) (A6) with a residual
+    record skip (A8), and later files read fully."""
+    offsets = offsets or {}
+    plan: list[dict] = []
+    for key in _list_data_keys(root):
+        m = KEY_RE.match(key)
+        if not m:  # suffix/shape filter (A3)
+            continue
+        if start_marker is not None and key < start_marker:
+            continue  # gcs.start.marker (GCSFilesReader.java:148-158)
+        topic, part = m.group("topic"), int(m.group("part"))
+        name_offset = int(m.group("offset"))
+        if topics is not None and topic not in topics:
+            continue
+        if topics_ignore is not None and topic in topics_ignore:
+            continue
+        if partitions is not None and part not in partitions:
+            continue
+        committed = offsets.get((topic, part))
+        resume_after = -1
+        if committed is not None:
+            ckey, coff = committed
+            if key < ckey:
+                continue  # whole-file skip (GCSFilesReader.java:173-181)
+            if key == ckey:
+                resume_after = coff
+        index = _load_index(root, key)
+        if index is None:
+            # no index: decode the whole file as one range (the name still
+            # gives the first offset)
+            plan.append(
+                {
+                    "data_key": key,
+                    "topic": topic,
+                    "partition": part,
+                    "byte_offset": 0,
+                    "byte_length": -1,
+                    "first_record_offset": name_offset,
+                    "resume_after": resume_after,
+                }
+            )
+            continue
+        if resume_after >= 0 and index.chunk_containing(resume_after + 1) is None:
+            continue  # resumed at EOF → skip file (GCSFilesReader.java:237-248)
+        for c in index.chunks:
+            if c.num_records == 0:
+                continue  # header chunk (A30) — index lets readers skip it
+            if resume_after >= 0 and (
+                c.first_record_offset + c.num_records - 1 <= resume_after
+            ):
+                continue  # chunk entirely below the checkpoint
+            plan.append(
+                {
+                    "data_key": key,
+                    "topic": topic,
+                    "partition": part,
+                    "byte_offset": c.byte_offset,
+                    "byte_length": c.byte_length,
+                    "first_record_offset": c.first_record_offset,
+                    "resume_after": resume_after,
+                }
+            )
+    return plan
+
+
+def read_archive(
+    spark: SparkSession,
+    root: str,
+    fmt=None,
+    topics: "set[str] | None" = None,
+    topics_ignore: "set[str] | None" = None,
+    partitions: "set[int] | None" = None,
+    offsets: "dict[tuple[str, int], tuple[str, int]] | None" = None,
+    start_marker: "str | None" = None,
+) -> DataFrame:
+    """Archive → DataFrame(topic, partition, offset, key, value, headers).
+
+    The plan (tiny metadata) is built on the driver; chunk decode fans out
+    as an Arrow-batched ``mapInPandas`` with one ranged read per chunk —
+    ≤ one uncompressed block of memory per task, chunk-count parallelism."""
+    fmt = fmt or ByteLengthFormat(include_keys=True)
+    plan = plan_archive_scan(
+        root,
+        topics=topics,
+        topics_ignore=topics_ignore,
+        partitions=partitions,
+        offsets=offsets,
+        start_marker=start_marker,
+    )
+    plan_schema = (
+        "data_key string, topic string, partition int, byte_offset long, "
+        "byte_length long, first_record_offset long, resume_after long"
+    )
+    if not plan:
+        return spark.createDataFrame([], RECORDS_SCHEMA)
+    plan_df = spark.createDataFrame([tuple(p.values()) for p in plan], plan_schema)
+    n_chunks = len(plan)
+    parallelism = min(n_chunks, spark.sparkContext.defaultParallelism)
+    plan_df = plan_df.repartition(parallelism)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "topic", "partition", "offset", "key", "value", "headers")}
+            for i in range(len(pdf)):
+                path = os.path.join(root, str(pdf["data_key"].iloc[i]))
+                boff = int(pdf["byte_offset"].iloc[i])
+                blen = int(pdf["byte_length"].iloc[i])
+                with open(path, "rb") as f:
+                    f.seek(boff)  # ranged read (GCSFilesReader.java:278-297)
+                    blob = f.read() if blen < 0 else f.read(blen)
+                raw = gzip.decompress(blob)  # multi-member safe
+                recs = fmt.decode(raw)
+                first = int(pdf["first_record_offset"].iloc[i])
+                resume = int(pdf["resume_after"].iloc[i])
+                for j, (k, v, h) in enumerate(recs):
+                    off = first + j
+                    if off <= resume:  # record skip-scan (A8)
+                        continue
+                    rows["topic"].append(str(pdf["topic"].iloc[i]))
+                    rows["partition"].append(int(pdf["partition"].iloc[i]))
+                    rows["offset"].append(off)
+                    rows["key"].append(k)
+                    rows["value"].append(v)
+                    rows["headers"].append(
+                        [{"key": hk, "value": hv} for hk, hv in h]
+                    )
+            yield pd.DataFrame(rows, columns=list(rows))
+
+    return plan_df.mapInPandas(decode, schema=RECORDS_SCHEMA)

@@ -1,0 +1,220 @@
+"""Block-gzip archive layout: round-trip, chunk index, resume, routing —
+mirrors the reference's GCSFilesReaderTest + system_test/run.py goldens.
+
+Reference invariants ported:
+* in-order read across files/partitions (GCSFilesReaderTest.java:62-83)
+* resume mid-file from offsets → skipped5..skipped9 (:86-107)
+* resume at EOF skips the file (:110-125)
+* keyless/values-only mode (:151-168)
+* restart produces ...-000000000100.gz, no duplicates (run.py:250-257)
+* cursor names the latest index key (run.py:214-218)
+* chunk rotation bounded by uncompressed threshold + exact index stats
+  (BlockGZIPFileWriter.java:191-200,242-270)
+"""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from kafka_connect_gcs_spark.sources.archive import (
+    ChunksIndex,
+    cursor_key,
+    plan_archive_scan,
+    read_archive,
+    read_cursor,
+    write_archive,
+)
+from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat
+
+FMT = ByteLengthFormat(include_keys=True)
+
+
+def _records_df(spark, topic, partition, first, n, with_headers=True):
+    rows = []
+    for i in range(n):
+        off = first + i
+        hdrs = (
+            [{"key": "h1", "value": bytes([off % 256, 1])},
+             {"key": "h2", "value": None}]
+            if with_headers
+            else []
+        )
+        rows.append(
+            (topic, partition, off, f"k{off}".encode(), f"v{off}-{topic}".encode(), hdrs)
+        )
+    return spark.createDataFrame(
+        rows,
+        "topic string, partition int, offset long, key binary, value binary, "
+        "headers array<struct<key:string, value:binary>>",
+    )
+
+
+def _collect(df):
+    return sorted(
+        (
+            r.topic,
+            r.partition,
+            r.offset,
+            bytes(r.key) if r.key is not None else None,
+            bytes(r.value) if r.value is not None else None,
+            tuple(
+                (h["key"], None if h["value"] is None else bytes(h["value"]))
+                for h in (r.headers or [])
+            ),
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "bucket" / "prefix")
+
+
+def test_roundtrip_multi_topic_partition(spark, root):
+    src = (
+        _records_df(spark, "alpha", 0, 0, 25)
+        .unionByName(_records_df(spark, "alpha", 1, 0, 10))
+        .unionByName(_records_df(spark, "beta", 0, 5, 7))
+    )
+    manifest = write_archive(src, root, "2026-08-16", FMT, chunk_threshold=256)
+    assert {(m["topic"], m["partition"]) for m in manifest} == {
+        ("alpha", 0), ("alpha", 1), ("beta", 0)
+    }
+    got = read_archive(spark, root, FMT)
+    assert _collect(got) == _collect(src)
+    # layout goldens: zero-padded names under the date prefix
+    alpha0 = [m for m in manifest if m["topic"] == "alpha" and m["partition"] == 0][0]
+    assert alpha0["data_key"] == "2026-08-16/alpha-00000-000000000000.gz"
+    beta0 = [m for m in manifest if m["topic"] == "beta"][0]
+    assert beta0["data_key"] == "2026-08-16/beta-00000-000000000005.gz"
+
+
+def test_chunk_rotation_and_index_stats(spark, root):
+    write_archive(
+        _records_df(spark, "t", 0, 0, 50, with_headers=False),
+        root, "2026-08-16", FMT, chunk_threshold=200,
+    )
+    ipath = os.path.join(root, "2026-08-16/t-00000-000000000000.index.json")
+    index = ChunksIndex.from_json(json.load(open(ipath)))
+    assert len(index.chunks) > 1  # rotation happened
+    assert sum(c.num_records for c in index.chunks) == 50
+    assert index.last_offset() == 49
+    # byte ranges tile the file exactly and each chunk gunzips alone
+    data = open(os.path.join(root, "2026-08-16/t-00000-000000000000.gz"), "rb").read()
+    at = 0
+    for c in index.chunks:
+        assert c.byte_offset == at
+        member = data[c.byte_offset : c.byte_offset + c.byte_length]
+        assert len(gzip.decompress(member)) == c.byte_length_uncompressed
+        assert c.byte_length_uncompressed <= 200 + 50  # ≤ threshold + one frame
+        at += c.byte_length
+    assert at == len(data) == index.total_size()
+    # the whole concatenation is still one valid gzip stream
+    assert len(gzip.decompress(data)) == sum(
+        c.byte_length_uncompressed for c in index.chunks
+    )
+    # point lookup (ChunksIndex.java:34-37)
+    c = index.chunk_containing(37)
+    assert c.first_record_offset <= 37 < c.first_record_offset + c.num_records
+
+
+def test_resume_mid_file_reads_tail_only(spark, root):
+    write_archive(
+        _records_df(spark, "t", 0, 0, 10),
+        root, "2026-08-16", FMT, chunk_threshold=128,
+    )
+    key = "2026-08-16/t-00000-000000000000.gz"
+    got = read_archive(spark, root, FMT, offsets={("t", 0): (key, 4)})
+    offs = sorted(r.offset for r in got.collect())
+    assert offs == [5, 6, 7, 8, 9]  # the reference's skipped5..skipped9
+
+
+def test_resume_at_eof_skips_file(spark, root):
+    write_archive(_records_df(spark, "t", 0, 0, 10), root, "2026-08-16", FMT)
+    key = "2026-08-16/t-00000-000000000000.gz"
+    got = read_archive(spark, root, FMT, offsets={("t", 0): (key, 9)})
+    assert got.count() == 0
+    # and a later file still reads fully
+    write_archive(_records_df(spark, "t", 0, 10, 5), root, "2026-08-16", FMT)
+    got = read_archive(spark, root, FMT, offsets={("t", 0): (key, 9)})
+    assert sorted(r.offset for r in got.collect()) == [10, 11, 12, 13, 14]
+
+
+def test_restart_next_file_no_duplicates(spark, root):
+    """run.py:250-257: after a restart the next flush lands in
+    ...-000000000100.gz and a full re-read yields no duplicate offsets."""
+    write_archive(_records_df(spark, "t", 0, 0, 100), root, "2026-08-16", FMT)
+    m2 = write_archive(_records_df(spark, "t", 0, 100, 20), root, "2026-08-16", FMT)
+    assert m2[0]["data_key"] == "2026-08-16/t-00000-000000000100.gz"
+    got = read_archive(spark, root, FMT)
+    offs = [r.offset for r in got.collect()]
+    assert sorted(offs) == list(range(120))
+    # replaying the same flush overwrites the same key — still no dupes (A21)
+    write_archive(_records_df(spark, "t", 0, 100, 20), root, "2026-08-16", FMT)
+    assert sorted(r.offset for r in read_archive(spark, root, FMT).collect()) == list(
+        range(120)
+    )
+
+
+def test_cursor_points_at_latest_index(spark, root):
+    write_archive(_records_df(spark, "t", 0, 0, 10), root, "2026-08-16", FMT)
+    assert read_cursor(root, "t", 0) == "2026-08-16/t-00000-000000000000.index.json"
+    write_archive(_records_df(spark, "t", 0, 10, 10), root, "2026-08-17", FMT)
+    assert read_cursor(root, "t", 0) == "2026-08-17/t-00000-000000000010.index.json"
+    assert os.path.exists(cursor_key(root, "t", 0))
+
+
+def test_values_only_mode(spark, root):
+    fmt = ByteLengthFormat(include_keys=False)
+    src = _records_df(spark, "t", 0, 0, 8, with_headers=False)
+    write_archive(src, root, "2026-08-16", fmt)
+    got = read_archive(spark, root, fmt)
+    rows = sorted((r.offset, bytes(r.value), r.key) for r in got.collect())
+    assert [o for o, _, _ in rows] == list(range(8))
+    assert all(k is None for _, _, k in rows)  # keyless like the reference
+    assert rows[3][1] == b"v3-t"
+
+
+def test_topic_partition_filters_and_marker(spark, root):
+    src = (
+        _records_df(spark, "keep", 0, 0, 5)
+        .unionByName(_records_df(spark, "keep", 1, 0, 5))
+        .unionByName(_records_df(spark, "drop", 0, 0, 5))
+    )
+    write_archive(src, root, "2026-08-16", FMT)
+    got = read_archive(spark, root, FMT, topics={"keep"}, partitions={1})
+    assert {(r.topic, r.partition) for r in got.collect()} == {("keep", 1)}
+    got = read_archive(spark, root, FMT, topics_ignore={"drop"})
+    assert {r.topic for r in got.collect()} == {"keep"}
+    # start marker: lexicographic skip of everything below (A1 startOffset)
+    plan = plan_archive_scan(root, start_marker="2026-08-16/keep-00001")
+    assert {p["topic"] for p in plan} == {"keep"}
+    assert {p["partition"] for p in plan} == {1}
+
+
+def test_chunk_parallel_plan(spark, root):
+    """Every chunk is its own plan row — the scan parallelism unit (the
+    100 TB story: chunk-count tasks, bounded memory each)."""
+    write_archive(
+        _records_df(spark, "t", 0, 0, 60, with_headers=False),
+        root, "2026-08-16", FMT, chunk_threshold=128,
+    )
+    plan = plan_archive_scan(root)
+    assert len(plan) > 4
+    assert len({(p["byte_offset"], p["byte_length"]) for p in plan}) == len(plan)
+
+
+def test_header_chunk_is_skipped_by_readers(spark, root):
+    write_archive(
+        _records_df(spark, "t", 0, 0, 6),
+        root, "2026-08-16", FMT, header_bytes=b"FILEHEADER\n",
+    )
+    index = ChunksIndex.from_json(
+        json.load(open(os.path.join(root, "2026-08-16/t-00000-000000000000.index.json")))
+    )
+    assert index.chunks[0].num_records == 0  # A30 header chunk
+    got = read_archive(spark, root, FMT)
+    assert sorted(r.offset for r in got.collect()) == [0, 1, 2, 3, 4, 5]
