@@ -368,7 +368,7 @@ def plan_archive_scan(
         index = _load_index(root, key)
         if index is None:
             # no index: decode the whole file as one range (the name still
-            # gives the first offset)
+            # gives the first offset; last offset unknown until decoded)
             plan.append(
                 {
                     "data_key": key,
@@ -378,6 +378,7 @@ def plan_archive_scan(
                     "byte_length": -1,
                     "first_record_offset": name_offset,
                     "resume_after": resume_after,
+                    "last_offset": -1,
                 }
             )
             continue
@@ -399,9 +400,86 @@ def plan_archive_scan(
                     "byte_length": c.byte_length,
                     "first_record_offset": c.first_record_offset,
                     "resume_after": resume_after,
+                    "last_offset": c.first_record_offset + c.num_records - 1,
                 }
             )
     return plan
+
+
+class ArchiveTailer:
+    """The reference's live source loop over an archive: poll for records
+    past the stored offsets, emit them, max-merge the offsets forward
+    (GCSSourceTask.readFromStoredOffsets :65-142 + poll :200-259).
+
+    Offset advancement is METADATA-ONLY: the new position per (topic,
+    partition) is the lexicographically-last planned file key plus its
+    index's last offset — no aggregation over the returned records, so a
+    poll costs one listing plus the tiny index JSONs (the reference walks
+    record-by-record to learn the same thing). ``max_chunks_per_poll`` is
+    the batch limit (A25, max.poll.records at chunk granularity)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fmt=None,
+        topics: "set[str] | None" = None,
+        topics_ignore: "set[str] | None" = None,
+        partitions: "set[int] | None" = None,
+        offsets: "dict[tuple[str, int], tuple[str, int]] | None" = None,
+        start_marker: "str | None" = None,
+        max_chunks_per_poll: "int | None" = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt or ByteLengthFormat(include_keys=True)
+        self.topics = topics
+        self.topics_ignore = topics_ignore
+        self.partitions = partitions
+        #: Map<GCSPartition, GCSOffset> analog; monotone max-merged (A26)
+        self.offsets: dict = dict(offsets or {})
+        # a stored offset wins over the marker, like Connect offsets do
+        self.start_marker = None if self.offsets else start_marker
+        self.max_chunks_per_poll = max_chunks_per_poll
+
+    def poll(self) -> "DataFrame | None":
+        """Records past the current offsets (None when caught up), with
+        ``self.offsets`` advanced to cover everything returned."""
+        plan = plan_archive_scan(
+            self.root,
+            topics=self.topics,
+            topics_ignore=self.topics_ignore,
+            partitions=self.partitions,
+            offsets=self.offsets,
+            start_marker=self.start_marker,
+        )
+        if self.max_chunks_per_poll is not None:
+            plan = plan[: self.max_chunks_per_poll]
+        if not plan:
+            return None
+        df = _decode_plan(self.spark, self.root, self.fmt, plan)
+        # advance offsets from the PLANNED chunks only (a truncated poll must
+        # not skip unread chunks); GCSOffset order = (key, offset) lexicographic
+        for p in plan:
+            tp = (p["topic"], p["partition"])
+            last = p["last_offset"]
+            if last < 0:
+                # indexless file: learn the max offset from the data (rare)
+                last = (
+                    df.where(
+                        (F.col("topic") == tp[0]) & (F.col("partition") == tp[1])
+                        & (F.col("offset") >= F.lit(p["first_record_offset"]))
+                    )
+                    .agg(F.max("offset"))
+                    .collect()[0][0]
+                )
+                if last is None:
+                    continue
+            prev = self.offsets.get(tp)
+            cand = (p["data_key"], last)
+            if prev is None or cand > prev:
+                self.offsets[tp] = cand
+        return df
 
 
 def read_archive(
@@ -428,15 +506,31 @@ def read_archive(
         offsets=offsets,
         start_marker=start_marker,
     )
-    plan_schema = (
-        "data_key string, topic string, partition int, byte_offset long, "
-        "byte_length long, first_record_offset long, resume_after long"
-    )
+    return _decode_plan(spark, root, fmt, plan)
+
+
+def _decode_plan(
+    spark: SparkSession, root: str, fmt, plan: list[dict]
+) -> DataFrame:
     if not plan:
         return spark.createDataFrame([], RECORDS_SCHEMA)
-    plan_df = spark.createDataFrame([tuple(p.values()) for p in plan], plan_schema)
-    n_chunks = len(plan)
-    parallelism = min(n_chunks, spark.sparkContext.defaultParallelism)
+    plan_schema = (
+        "data_key string, topic string, partition int, byte_offset long, "
+        "byte_length long, first_record_offset long, resume_after long, "
+        "last_offset long"
+    )
+    plan_df = spark.createDataFrame(
+        [
+            (
+                p["data_key"], p["topic"], p["partition"], p["byte_offset"],
+                p["byte_length"], p["first_record_offset"], p["resume_after"],
+                p["last_offset"],
+            )
+            for p in plan
+        ],
+        plan_schema,
+    )
+    parallelism = min(len(plan), spark.sparkContext.defaultParallelism)
     plan_df = plan_df.repartition(parallelism)
 
     def decode(batches):

@@ -207,6 +207,41 @@ def test_chunk_parallel_plan(spark, root):
     assert len({(p["byte_offset"], p["byte_length"]) for p in plan}) == len(plan)
 
 
+def test_tailer_polls_incrementally_with_metadata_offsets(spark, root):
+    """ArchiveTailer = the reference's poll loop: each poll returns only
+    new records; offsets advance from index metadata; a bounded poll
+    (max_chunks_per_poll) never skips unread chunks; a fresh tailer resumes
+    from a stored offsets map exactly."""
+    from kafka_connect_gcs_spark.sources.archive import ArchiveTailer
+
+    write_archive(
+        _records_df(spark, "t", 0, 0, 30, with_headers=False),
+        root, "2026-08-16", FMT, chunk_threshold=128,
+    )
+    tail = ArchiveTailer(spark, root, FMT, max_chunks_per_poll=2)
+    seen = []
+    while True:
+        df = tail.poll()
+        if df is None:
+            break
+        batch = sorted(r.offset for r in df.collect())
+        assert not (set(batch) & set(seen)), "no duplicates across polls"
+        seen += batch
+    assert seen == list(range(30))
+    assert len(seen) == 30
+    # new flush appears → next poll picks up exactly the new records
+    write_archive(
+        _records_df(spark, "t", 0, 30, 5, with_headers=False),
+        root, "2026-08-16", FMT,
+    )
+    df = tail.poll()
+    assert sorted(r.offset for r in df.collect()) == [30, 31, 32, 33, 34]
+    assert tail.poll() is None  # caught up
+    # resume a brand-new tailer from the stored offsets map (A27)
+    tail2 = ArchiveTailer(spark, root, FMT, offsets=dict(tail.offsets))
+    assert tail2.poll() is None
+
+
 def test_header_chunk_is_skipped_by_readers(spark, root):
     write_archive(
         _records_df(spark, "t", 0, 0, 6),
