@@ -465,6 +465,40 @@ def q_set_ops(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_semi_anti_join(spark, sf_dir):
+    """Semi/anti joins as first-class queries (the reference only uses an
+    anti-join implicitly inside MERGE deletes): BUILDING-segment customers
+    split by whether they have a finished order."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_custkey"
+    )
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "tag", F.lit("has_f_order")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "tag", F.lit("no_f_order")
+    )
+    return semi.unionByName(anti).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "tag"
+    )
+
+
+def q_quantiles_by_priority(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both rank at p·(n−1) and lerp in double)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -645,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup_pricing": q_rollup_pricing,
         "set_ops": q_set_ops,
+        "semi_anti_join": q_semi_anti_join,
+        "quantiles_by_priority": q_quantiles_by_priority,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -879,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
             INTERSECT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        """,
+        "semi_anti_join": """
+          SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 'has_f_order' AS tag
+          FROM customer c WHERE c_mktsegment = 'BUILDING'
+            AND EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+          UNION ALL
+          SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 'no_f_order' AS tag
+          FROM customer c WHERE c_mktsegment = 'BUILDING'
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+        """,
+        "quantiles_by_priority": """
+          SELECT o_orderpriority,
+                 round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                 round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                 count(*) AS n
+          FROM orders GROUP BY o_orderpriority
         """,
         "text_token_stats": f"""
           SELECT doc_id,

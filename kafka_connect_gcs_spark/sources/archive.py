@@ -182,13 +182,15 @@ def _write_block_gzip(
     buf_first = first_offset
     buf_count = 0
     for frame in frames:
-        if buf and len(buf) + len(frame) > chunk_threshold:
+        # rotate on RECORD presence, not byte count: zero-length frames
+        # (e.g. values-only empty records) must still land in a chunk
+        if buf_count and len(buf) + len(frame) > chunk_threshold:
             flush_chunk(bytes(buf), buf_first, buf_count)
             buf_first += buf_count
             buf, buf_count = bytearray(), 0
         buf += frame
         buf_count += 1
-    if buf:
+    if buf_count:
         flush_chunk(bytes(buf), buf_first, buf_count)
     tmp = path + ".inprogress"
     os.makedirs(os.path.dirname(path), exist_ok=True)

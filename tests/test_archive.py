@@ -242,6 +242,73 @@ def test_tailer_polls_incrementally_with_metadata_offsets(spark, root):
     assert tail2.poll() is None
 
 
+def test_delimited_format_archive_roundtrip(spark, root):
+    """The reference's default text format works through the same archive
+    layer: trailing-delimiter frames inside block-gzip chunks."""
+    from kafka_connect_gcs_spark.sources.formats import (
+        DelimitedConfig,
+        TrailingDelimiterFormat,
+    )
+
+    fmt = TrailingDelimiterFormat(DelimitedConfig(key_delimiter="\t"))
+    src = _records_df(spark, "txt", 0, 0, 12, with_headers=False)
+    write_archive(src, root, "2026-08-16", fmt, chunk_threshold=96)
+    got = read_archive(spark, root, fmt)
+    rows = sorted((r.offset, bytes(r.key), bytes(r.value)) for r in got.collect())
+    assert [(o, k, v) for o, k, v in rows] == [
+        (i, f"k{i}".encode(), f"v{i}-txt".encode()) for i in range(12)
+    ]
+
+
+def test_block_writer_invariants_property():
+    """No-Spark property test of _write_block_gzip: for random frame sizes
+    and thresholds, chunks tile the file, every chunk stays within
+    threshold + one frame, record counts sum, and per-chunk gunzip equals
+    the frame concatenation."""
+    import gzip as gz
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_gcs_spark.sources.archive import _write_block_gzip
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=40),
+        threshold=st.integers(min_value=1, max_value=256),
+        first=st.integers(min_value=0, max_value=10**9),
+    )
+    def check(sizes, threshold, first):
+        frames = [bytes([i % 256]) * s for i, s in enumerate(sizes)]
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "t-00000-000000000000.gz")
+            index = _write_block_gzip(path, frames, first, threshold)
+            data = open(path, "rb").read()
+        at, rec_at = 0, 0
+        for c in index.chunks:
+            assert c.byte_offset == at
+            member = data[at : at + c.byte_length]
+            raw = gz.decompress(member)
+            assert len(raw) == c.byte_length_uncompressed
+            assert c.first_record_offset == first + rec_at
+            want = b"".join(frames[rec_at : rec_at + c.num_records])
+            assert raw == want
+            # rotation bound: a chunk exceeds the threshold only when a
+            # single frame does
+            if c.num_records > 1:
+                assert (
+                    len(raw) - len(frames[rec_at + c.num_records - 1]) <= threshold
+                )
+            at += c.byte_length
+            rec_at += c.num_records
+        assert at == len(data)
+        assert rec_at == len(frames)
+        assert index.last_offset() == first + len(frames) - 1
+
+    check()
+
+
 def test_header_chunk_is_skipped_by_readers(spark, root):
     write_archive(
         _records_df(spark, "t", 0, 0, 6),
