@@ -465,6 +465,22 @@ def q_set_ops(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_cube_status_priority(spark, sf_dir):
+    """CUBE over (status, priority) — all 4 grouping combinations in one
+    pass (rollup_pricing covers the hierarchical variant)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
 def q_semi_anti_join(spark, sf_dir):
     """Semi/anti joins as first-class queries (the reference only uses an
     anti-join implicitly inside MERGE deletes): BUILDING-segment customers
@@ -680,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": q_rollup_pricing,
         "set_ops": q_set_ops,
         "semi_anti_join": q_semi_anti_join,
+        "cube_status_priority": q_cube_status_priority,
         "quantiles_by_priority": q_quantiles_by_priority,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -915,6 +932,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
             INTERSECT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        """,
+        "cube_status_priority": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                       AS DOUBLE), 2) AS total
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "semi_anti_join": """
           SELECT c_custkey, round(c_acctbal, 2) AS acctbal,

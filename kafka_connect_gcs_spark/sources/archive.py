@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat
+from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat, CorruptRecord
 
 #: {topic}-{ppppp}-{oooooooooooo}.gz — GCSFilesReader.java:58-63
 KEY_RE = re.compile(r"(?:.*/)?(?P<topic>.+)-(?P<part>\d{5})-(?P<offset>\d{12})\.gz$")
@@ -548,8 +548,18 @@ def _decode_plan(
                 with open(path, "rb") as f:
                     f.seek(boff)  # ranged read (GCSFilesReader.java:278-297)
                     blob = f.read() if blen < 0 else f.read(blen)
-                raw = gzip.decompress(blob)  # multi-member safe
-                recs = fmt.decode(raw)
+                try:
+                    raw = gzip.decompress(blob)  # multi-member safe
+                    recs = fmt.decode(raw)
+                except CorruptRecord:
+                    raise
+                except Exception as e:
+                    # the reference's DataException("Corrupt record at …"),
+                    # BytesRecordReader.java:197-199 — with chunk coordinates
+                    raise CorruptRecord(
+                        f"Corrupt chunk at {pdf['data_key'].iloc[i]}"
+                        f"[{boff}:{boff + max(blen, 0)}]: {e}"
+                    ) from e
                 first = int(pdf["first_record_offset"].iloc[i])
                 resume = int(pdf["resume_after"].iloc[i])
                 for j, (k, v, h) in enumerate(recs):

@@ -309,6 +309,24 @@ def test_block_writer_invariants_property():
     check()
 
 
+def test_corrupt_chunk_raises_with_coordinates(spark, root):
+    """A truncated/garbled data file fails loudly with chunk coordinates —
+    the reference's DataException('Corrupt record at …') analog, not a
+    silent partial read."""
+    from kafka_connect_gcs_spark.sources.formats import CorruptRecord
+
+    write_archive(_records_df(spark, "t", 0, 0, 10), root, "2026-08-16", FMT)
+    path = os.path.join(root, "2026-08-16/t-00000-000000000000.gz")
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[: len(blob) // 2])  # truncate mid-chunk
+    with pytest.raises(Exception) as ei:
+        read_archive(spark, root, FMT).collect()
+    assert "Corrupt" in str(ei.value) or "CorruptRecord" in str(ei.value), str(
+        ei.value
+    )[:500]
+    assert CorruptRecord is not None
+
+
 def test_header_chunk_is_skipped_by_readers(spark, root):
     write_archive(
         _records_df(spark, "t", 0, 0, 6),

@@ -86,6 +86,26 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     assert codegen_stage_count(df) >= 1
 
 
+def test_winnow_stays_jvm_side(spark, sf_dir):
+    """Fingerprinting is pure Catalyst (HOF expressions, no Python) and the
+    wrapper spreads a single-file corpus across all cores."""
+    from kafka_connect_gcs_spark.operators.text import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = winnow_fingerprints(d)
+    assert num_python_udf_nodes(df) == 0
+    assert (
+        df.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+
+def test_semi_anti_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as e
+
+    assert has_broadcast_join(e.q_semi_anti_join(spark, sf_dir))
+
+
 def test_validation_expr_stays_in_codegen(spark):
     from kafka_connect_gcs_spark.operators.validate import valid_expr
     from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, generate_changes
