@@ -408,6 +408,52 @@ def plan_archive_scan(
     return plan
 
 
+#: change-event JSON carried in archived record values (the bridge's wire
+#: schema): the reference moves opaque bytes; a CDC user archives their
+#: change events as JSON values, and this is how they flow into the table.
+CHANGE_EVENT_JSON_SCHEMA = (
+    "doc_id string, offset long, op string, tokens array<int>, "
+    "n_tok int, source string"
+)
+
+
+def decode_change_events(records: DataFrame) -> DataFrame:
+    """Archived kafka records → typed CDC change events: parse the JSON
+    value (from_json — JVM-side, no Python) and map the record coordinates
+    onto the feed's columns (kafka partition → part; the JSON's own offset
+    is the CDC ordering key, the kafka offset is delivery order)."""
+    c = F.from_json(F.col("value").cast("string"), CHANGE_EVENT_JSON_SCHEMA)
+    return records.select(
+        c.alias("c"),
+        F.col("partition").alias("part"),
+        F.col("offset").alias("delivery_seq"),
+    ).select("c.*", "part", "delivery_seq")
+
+
+def ingest_archive(pipe, tailer: "ArchiveTailer", max_polls: int = 1000) -> list:
+    """Drain a reference archive into the icebox table through the CDC
+    pipeline: poll → decode change events → the SAME fused batch path the
+    segment loop runs (validate, LWW dedup, MERGE, metrics, auto-fold).
+    batch_id derives from the poll's offset frontier, so a crashed-and-
+    replayed poll is absorbed by the table's idempotent commit."""
+    out = []
+    for _ in range(max_polls):
+        before = dict(tailer.offsets)
+        df = tailer.poll()
+        if df is None:
+            break
+        frontier = ",".join(
+            f"{t}-{p}:{k}@{o}" for (t, p), (k, o) in sorted(tailer.offsets.items())
+        )
+        batch_id = "arch-" + __import__("hashlib").md5(
+            (str(sorted(before.items())) + "→" + frontier).encode()
+        ).hexdigest()[:16]
+        lineage = pipe.run_batch_df(decode_change_events(df), batch_id)
+        if lineage is not None:
+            out.append(lineage)
+    return out
+
+
 class ArchiveTailer:
     """The reference's live source loop over an archive: poll for records
     past the stored offsets, emit them, max-merge the offsets forward

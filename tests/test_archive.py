@@ -17,6 +17,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_connect_gcs_spark.sources.archive import (
     ChunksIndex,
@@ -307,6 +308,82 @@ def test_block_writer_invariants_property():
         assert index.last_offset() == first + len(frames) - 1
 
     check()
+
+
+def test_archive_to_cdc_bridge_end_to_end(spark, root, tmp_path):
+    """The switch-over story: change events archived as JSON values by the
+    reference connector flow through ArchiveTailer → decode_change_events →
+    the SAME CDC batch path, landing in the icebox table exactly-once.
+    Final state matches the DuckDB LWW replay; re-ingesting from the same
+    offsets is a committed no-op."""
+    import duckdb
+    from pyspark.sql import Window
+
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.operators.merge import read_state
+    from kafka_connect_gcs_spark.sources.archive import (
+        ArchiveTailer,
+        ingest_archive,
+    )
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, generate_changes
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+    ch = generate_changes(
+        spark,
+        BinlogSpec(num_events=4000, num_docs=600, num_partitions=3, seed=77,
+                   duplicate_fraction=0.1, delete_fraction=0.15,
+                   shuffle_window=150),
+    ).cache()
+    ch.write.parquet(str(tmp_path / "truth"))
+    payload = F.to_json(
+        F.struct("doc_id", "offset", "op", "tokens", "n_tok", "source")
+    )
+    w = Window.partitionBy("part").orderBy("delivery_seq")
+    recs = ch.select(
+        F.lit("changes").alias("topic"),
+        F.col("part").cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+    )
+    # two flushes per partition, like two Connect offset commits
+    half = recs.where(F.col("offset") < 500)
+    rest = recs.where(F.col("offset") >= 500)
+    write_archive(half, root, "2026-08-16", FMT, chunk_threshold=64 * 1024)
+    write_archive(rest, root, "2026-08-16", FMT, chunk_threshold=64 * 1024)
+
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "table"),
+        feed_path=str(tmp_path / "nofeed"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    tailer = ArchiveTailer(spark, root, FMT, max_chunks_per_poll=4)
+    lineages = ingest_archive(pipe, tailer)
+    assert len(lineages) >= 2  # bounded polls → several batches
+
+    got = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source, r.last_offset)
+        for r in read_state(pipe.table).collect()
+    )
+    rows = duckdb.sql(f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY "offset" DESC, delivery_seq DESC) rn
+          FROM read_parquet('{tmp_path}/truth/*.parquet'))
+        SELECT doc_id, tokens, n_tok, source, "offset"
+        FROM ranked WHERE rn=1 AND op<>'D' ORDER BY doc_id
+    """).fetchall()
+    want = sorted((r[0], tuple(r[1]), r[2], r[3], r[4]) for r in rows)
+    assert got == want
+    # replay from the initial offsets: identical batch_ids → committed no-ops
+    v = pipe.table.current_version()
+    again = ingest_archive(pipe, ArchiveTailer(spark, root, FMT, max_chunks_per_poll=4))
+    assert all(ln.get("skipped") for ln in again)
+    assert pipe.table.current_version() == v
+    # and a caught-up tailer ingests nothing
+    assert ingest_archive(pipe, ArchiveTailer(spark, root, FMT, offsets=dict(tailer.offsets))) == []
 
 
 def test_corrupt_chunk_raises_with_coordinates(spark, root):
