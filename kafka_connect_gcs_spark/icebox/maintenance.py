@@ -18,6 +18,8 @@ table needs both of these or micro-batch COW slowly shreds it:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from kafka_connect_gcs_spark.icebox.table import IceboxTable, ManifestEntry
@@ -155,6 +157,77 @@ def fold_deletes(table: IceboxTable, sort_col: str = "doc_id") -> dict:
         mor_dead_rows=0,
     )
     return lineage
+
+
+def expire_snapshots(table: IceboxTable, keep_last: int = 10) -> dict:
+    """Metadata + storage reclamation: drop snapshot versions older than the
+    newest ``keep_last`` and physically delete every data/DV file no kept
+    version references. Also sweeps crash orphans (files written by a batch
+    whose commit never happened — the pointer is truth, so they were never
+    visible) and stray ``.inprogress`` temps.
+
+    The analog of Iceberg's expireSnapshots + removeOrphanFiles; without it
+    a long-running CDC table's COW rewrites retain every historical file
+    forever. Time travel keeps working for the kept versions; the replay
+    guard (committed_batch_ids) lives in current metadata and is unaffected.
+    Single-writer assumption: run from the writer process, like the rest of
+    the commit protocol."""
+    import shutil
+
+    current = table.current_version()
+    cutoff = max(current - keep_last + 1, 0)
+    kept_versions = [
+        v
+        for v in range(cutoff, current + 1)
+        if os.path.exists(table._meta_path(v))
+    ]
+    referenced: set[str] = set()
+    for v in kept_versions:
+        snap = table.snapshot(v)
+        referenced.update(m.path for m in snap.manifests)
+        referenced.update(m.path for m in snap.deletes)
+
+    versions_removed = 0
+    for v in range(cutoff):
+        p = table._meta_path(v)
+        if os.path.exists(p):
+            os.remove(p)
+            versions_removed += 1
+
+    files_removed = 0
+    bytes_removed = 0
+    for base in ("data", "deletes"):
+        base_dir = os.path.join(table.root, base)
+        if not os.path.isdir(base_dir):
+            continue
+        for dirpath, _dirs, files in os.walk(base_dir):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, table.root)
+                if rel in referenced:
+                    continue
+                # parquet writer success markers etc. stay with their dir;
+                # everything unreferenced (incl. crash orphans and
+                # .inprogress temps) goes
+                if fn.startswith("_") and any(
+                    os.path.relpath(os.path.join(dirpath, f), table.root)
+                    in referenced
+                    for f in files
+                ):
+                    continue  # marker of a still-referenced directory
+                bytes_removed += os.path.getsize(full)
+                os.remove(full)
+                files_removed += 1
+        # prune now-empty batch dirs
+        for dirpath, dirs, files in list(os.walk(base_dir, topdown=False)):
+            if dirpath != base_dir and not dirs and not files:
+                shutil.rmtree(dirpath, ignore_errors=True)
+    return {
+        "versions_removed": versions_removed,
+        "files_removed": files_removed,
+        "bytes_removed": bytes_removed,
+        "kept_versions": kept_versions,
+    }
 
 
 def expire_tombstones(

@@ -89,6 +89,54 @@ def test_expire_tombstones_drops_only_safe_watermarks(spark, tmp_path):
     )
 
 
+def test_expire_snapshots_reclaims_storage_and_keeps_time_travel(spark, tmp_path):
+    import os
+
+    from kafka_connect_gcs_spark.icebox.maintenance import expire_snapshots
+
+    pipe = _build(spark, tmp_path, "x")  # 6 COW batches → 7 versions
+    table = pipe.table
+    state_before = _state(table)
+    current = table.current_version()
+    assert current >= 4
+
+    def all_files():
+        out = []
+        for base in ("data", "deletes"):
+            d = os.path.join(table.root, base)
+            for dp, _dd, fs in os.walk(d):
+                out += [os.path.join(dp, f) for f in fs if not f.startswith("_")]
+        return out
+
+    # plant a crash orphan: data written, commit never happened
+    orphan_df = spark.createDataFrame(
+        [("zz-orphan", [1], 1, "web", 99, None)],
+        table.schema().spark_schema(),
+    )
+    table.write_data_files(orphan_df, "never-committed")
+    n_before = len(all_files())
+    res = expire_snapshots(table, keep_last=2)
+    assert res["versions_removed"] == current - 1  # v0..current-2 gone
+    assert res["files_removed"] > 0 and res["bytes_removed"] > 0
+    assert len(all_files()) < n_before
+    # state intact, replay guard intact, kept time travel works
+    assert _state(table) == state_before
+    assert table.committed_batch_ids()
+    assert table.read(version=current - 1).count() > 0
+    # expired versions are gone
+    try:
+        table.read(version=0)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    # idempotent: nothing left to remove
+    res2 = expire_snapshots(table, keep_last=2)
+    assert res2["files_removed"] == 0 and res2["versions_removed"] == 0
+    # the orphan's rows never became visible
+    assert not [s for s in _state(table) if s[0] == "zz-orphan"]
+
+
 def test_expire_respects_unsafe_watermark(spark, tmp_path):
     pipe = _build(spark, tmp_path, "u")
     table = pipe.table
