@@ -23,3 +23,24 @@ docstring cites the reference file:line it re-expresses.
 __version__ = "0.1.0"
 
 from kafka_connect_gcs_spark.config import EngineConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import kafka_connect_gcs_spark` free of
+    a SparkSession/pyspark import cost until actually used)."""
+    lazy = {
+        "CdcPipeline": ("kafka_connect_gcs_spark.streaming.pipeline", "CdcPipeline"),
+        "IceboxTable": ("kafka_connect_gcs_spark.icebox.table", "IceboxTable"),
+        "ArchiveTailer": ("kafka_connect_gcs_spark.sources.archive", "ArchiveTailer"),
+        "read_archive": ("kafka_connect_gcs_spark.sources.archive", "read_archive"),
+        "write_archive": ("kafka_connect_gcs_spark.sources.archive", "write_archive"),
+        "ingest_archive": ("kafka_connect_gcs_spark.sources.archive", "ingest_archive"),
+        "create_format": ("kafka_connect_gcs_spark.sources.formats", "create_format"),
+        "create_metrics": ("kafka_connect_gcs_spark.metrics", "create_metrics"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -104,3 +104,63 @@ class EngineConfig:
 
     # --- misc ----------------------------------------------------------------
     properties: dict = field(default_factory=dict)
+
+    @staticmethod
+    def from_properties(props: dict) -> "EngineConfig":
+        """Build a config from the REFERENCE'S property names, so a user's
+        existing ``.properties`` file carries over (README.md:159-190;
+        GCSSourceTask.java:73-142). Unknown keys ride along in
+        ``properties`` (where e.g. ``format.*`` and ``metrics.reporter``
+        already live); engine-native snake_case keys override.
+
+            EngineConfig.from_properties({
+                "gcs.start.marker": "seg=00000100",
+                "topics.ignore": "web,spam",
+                "max.poll.records": "500",
+                "targetTopic.web": "web-archive",
+                "compressed_block_size": "67108864",
+            })
+        """
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(EngineConfig)}
+        kw: dict = {}
+        remap = {}
+        for k, v in props.items():
+            if k.startswith("targetTopic."):
+                remap[k[len("targetTopic."):]] = str(v)
+            elif k == "topics":
+                kw["parts_allow"] = tuple(
+                    x.strip() for x in str(v).split(",") if x.strip()
+                )
+            elif k == "topics.ignore":
+                kw["parts_ignore"] = tuple(
+                    x.strip() for x in str(v).split(",") if x.strip()
+                )
+            elif k == "gcs.start.marker":
+                kw["start_marker"] = str(v)
+            elif k in ("max.poll.records", "gcs.page.size"):
+                kw["max_files_per_batch"] = int(v)
+            elif k == "gcs.new.record.poll.interval":
+                kw["poll_interval_s"] = float(v)
+            elif k == "gcs.error.backoff":
+                kw["error_backoff_s"] = float(v)
+            elif k == "compressed_block_size":
+                kw["target_file_bytes"] = int(v)
+            elif k in fields:  # engine-native name (snake_case) wins as-is
+                kw[k] = v
+        leftovers = {
+            k: v
+            for k, v in props.items()
+            if k not in kw and not k.startswith("targetTopic.")
+            and k not in (
+                "topics", "topics.ignore", "gcs.start.marker",
+                "max.poll.records", "gcs.page.size",
+                "gcs.new.record.poll.interval", "gcs.error.backoff",
+                "compressed_block_size",
+            )
+        }
+        if remap:
+            kw["source_remap"] = remap
+        kw["properties"] = leftovers
+        return EngineConfig(**kw)

@@ -173,3 +173,46 @@ def test_poll_loop_backs_off_then_raises(spark, tmp_path, monkeypatch, feed):
         pipe.run_forever(sleep_fn=sleeps.append)
     assert len(calls) == cfg.max_retries + 1
     assert sleeps == [cfg.error_backoff_s] * cfg.max_retries
+
+def test_config_from_reference_properties():
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.sources.formats import create_format
+
+    cfg = EngineConfig.from_properties(
+        {
+            "gcs.start.marker": "seg=00000100",
+            "topics": "web,mail",
+            "topics.ignore": "spam",
+            "max.poll.records": "500",
+            "gcs.new.record.poll.interval": "30",
+            "gcs.error.backoff": "1",
+            "compressed_block_size": "67108864",
+            "targetTopic.web": "web-archive",
+            "format": "binary",
+            "format.include.keys": "true",
+            "merge_mode": "mor",
+        }
+    )
+    assert cfg.start_marker == "seg=00000100"
+    assert cfg.parts_allow == ("web", "mail")
+    assert cfg.parts_ignore == ("spam",)
+    assert cfg.max_files_per_batch == 500
+    assert cfg.poll_interval_s == 30.0
+    assert cfg.error_backoff_s == 1.0
+    assert cfg.target_file_bytes == 64 * 1024 * 1024
+    assert cfg.source_remap == {"web": "web-archive"}
+    assert cfg.merge_mode == "mor"  # engine-native key passes through
+    # format.* keys remain available for create_format
+    fmt = create_format(cfg.properties)
+    assert fmt.include_keys is True
+
+
+def test_top_level_exports_are_lazy():
+    import kafka_connect_gcs_spark as pkg
+
+    assert pkg.CdcPipeline.__name__ == "CdcPipeline"
+    assert pkg.IceboxTable.__name__ == "IceboxTable"
+    assert pkg.ArchiveTailer.__name__ == "ArchiveTailer"
+    assert callable(pkg.read_archive) and callable(pkg.write_archive)
+    assert callable(pkg.ingest_archive)
+    assert callable(pkg.create_format) and callable(pkg.create_metrics)
