@@ -295,6 +295,109 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list:
+    """The true 100 TB shape: assign ONCE at write time and store the
+    corpus PARTITIONED BY centroid. Queries then touch only their nprobe
+    partitions via partition pruning — the inverted-file property becomes a
+    storage-layout property, and the per-query scan cost drops by
+    ~num_centroids/nprobe at the source instead of at the join.
+    Returns the trained centroids (persist them beside the data; they are
+    the index metadata)."""
+    assigned, centroids = ivf_assign(
+        corpus,
+        num_centroids=num_centroids,
+        iterations=iterations,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    (
+        assigned.repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_topk_prepartitioned(
+    spark,
+    path: str,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN over an :func:`ivf_write` store. The probe-set filter lands on
+    the partition column, so Spark's partition pruning skips every
+    non-probed directory at scan planning time (visible as PartitionFilters
+    in the plan) — no bytes read from unprobed buckets."""
+    store = spark.read.parquet(path)
+    probed = sorted(
+        {
+            int(c)
+            for row in queries.select(query_id_col, vec_col).collect()
+            for c in _probe_centroids(centroids, row[1], nprobe)
+        }
+    )
+    pruned = store.where(F.col("centroid").isin(probed))
+    # per-query probe membership re-checked on the (broadcast) join so each
+    # query only scores ITS buckets, not the union of all queries' buckets
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_pairs = [
+        (int(r[0]), int(c))
+        for r in qrows
+        for c in _probe_centroids(centroids, r[1], nprobe)
+    ]
+    qdf = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        f"{query_id_col} long, _qvec array<float>",
+    )
+    pdf = spark.createDataFrame(probe_pairs, f"{query_id_col} long, centroid int")
+    scored = (
+        pruned.join(F.broadcast(pdf), "centroid")
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _probe_centroids(centroids, qvec, nprobe: int) -> list:
+    """Driver-side probe ranking for a single query vector (centroids are
+    index metadata — tiny). Matches ivf_topk's cosine probe ranking."""
+    import math
+
+    qv = [float(x) for x in qvec]
+    scored = []
+    for cid, cv in centroids:
+        d = sum(a * b for a, b in zip(qv, cv))
+        n = math.sqrt(sum(x * x for x in cv)) or 1.0
+        scored.append((d / n, -int(cid)))
+    scored.sort(reverse=True)
+    return [-neg for _, neg in scored[:nprobe]]
+
+
 def rp_bucket(vec, num_planes: int = 8, seed: int = 42, dim: int = 64):
     """Random-hyperplane LSH bucket id: bit p = sign(v · plane_p), plane
     components derived from xxhash64(seed, p, d) → uniform in [-1, 1].

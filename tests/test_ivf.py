@@ -44,3 +44,31 @@ def test_ivf_topk_recall(spark, emb):
     full = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=8)
     got_full = {(r.query_id, r.vec_id) for r in full.collect()}
     assert got_full == truth
+
+
+def test_ivf_prepartitioned_store_matches_and_prunes(spark, emb, tmp_path):
+    """Write-time IVF partitioning: same results as the join-time ivf_topk
+    (same centroids by determinism), and the probe filter reaches the scan
+    as PartitionFilters — unprobed bucket directories are never read."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        ivf_topk_prepartitioned,
+        ivf_write,
+    )
+    from kafka_connect_gcs_spark.plans.inspect import explain_str
+
+    path = str(tmp_path / "ivf_store")
+    centroids = ivf_write(emb, path, num_centroids=8, iterations=2)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk_prepartitioned(
+        spark, path, centroids, queries, k=5, nprobe=4
+    )
+    want = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4, iterations=2)
+    assert sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.vec_id, r.sim, r.rank) for r in want.collect())
+    plan = explain_str(
+        spark.read.parquet(path).where(F.col("centroid").isin([1, 3]))
+    )
+    assert "PartitionFilters" in plan and "centroid" in plan
