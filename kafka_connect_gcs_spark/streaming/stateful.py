@@ -46,6 +46,90 @@ def streaming_windowed_counts(
     )
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("session_end", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.DoubleType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(stream: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Gap-based sessionization as keyed streaming state — the streaming
+    twin of ``operators.asof.sessionize``. Emits every session each time it
+    changes: ``closed=True`` rows are final (a later event opened a new
+    session past the gap); the trailing ``closed=False`` row is the key's
+    still-open session (downstream keeps the latest per (user,
+    session_start) — update-mode semantics).
+
+    In-batch work is vectorized numpy (sort → diff > gap → cumsum gives
+    session ids in three array ops); the carried state is three scalars per
+    key. Sequential per-key logic is inherent to sessionization — this is
+    the applyInPandasWithState shape from the SURVEY §2 streaming list."""
+    gap = float(gap_seconds)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        ts_parts = [pdf["_ts"].to_numpy(dtype="float64") for pdf in pdfs if len(pdf)]
+        if not ts_parts:
+            return
+        ts = np.sort(np.concatenate(ts_parts))
+        cur = state.get if state.exists else None  # (start, last, n)
+        out = []
+        boundaries = np.concatenate(([True], np.diff(ts) > gap))
+        sid = np.cumsum(boundaries) - 1
+        firsts = ts[boundaries]
+        lasts = ts[np.concatenate((boundaries[1:], [True]))]  # sorted ⇒ max
+        counts = np.bincount(sid)
+        sessions = list(zip(firsts, lasts, counts))
+        if cur is not None:
+            s0, l0, n0 = cur
+            if sessions and sessions[0][0] - l0 <= gap:
+                f, last, n = sessions[0]
+                sessions[0] = (s0, max(l0, last), n0 + int(n))
+            else:
+                sessions.insert(0, (s0, l0, int(n0)))
+        for f, last, n in sessions[:-1]:
+            out.append((f, last, int(n), True))
+        f, last, n = sessions[-1]
+        out.append((f, last, int(n), False))
+        state.update((float(f), float(last), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_start": [o[0] for o in out],
+                "session_end": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+                "closed": [o[3] for o in out],
+            }
+        )
+
+    return (
+        stream.select("user_id", F.col("ts").cast("double").alias("_ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 LWW_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),

@@ -91,3 +91,61 @@ def test_streaming_lww_state_matches_batch_dedup(spark, tmp_path):
         if cur is None or r.offset >= cur[0]:
             final[r.doc_id] = (r.offset, r.op)
     assert final == want
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sessionization (keyed state, gap=30 min) over time-ordered
+    micro-batches converges to the batch sessionize result exactly."""
+    from kafka_connect_gcs_spark.operators.asof import sessionize
+    from kafka_connect_gcs_spark.streaming.stateful import streaming_sessionize
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .where(F.col("user_id") < 200)
+    )
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    want = {
+        (r.user_id, float(r.start)): (float(r.end), r.n)
+        for r in s.groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("double")).alias("start"),
+            F.max(F.col("ts").cast("double")).alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    # two time-ordered batches (in-order delivery per key across batches)
+    cut = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    b1 = ev.where(F.col("ts").cast("double") <= cut)
+    b2 = ev.where(F.col("ts").cast("double") > cut)
+    src = tmp_path / "sess-src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    out = streaming_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("select * from sessions").collect()
+    assert emitted
+    # update-mode reduce, order-independent: a session only ever GROWS, so
+    # the max (end, n) emission per (user, session_start) is the final one
+    final = {}
+    for r in emitted:
+        k = (r.user_id, float(r.session_start))
+        cand = (float(r.session_end), r.n_events)
+        if k not in final or cand > final[k]:
+            final[k] = cand
+    assert final == want
