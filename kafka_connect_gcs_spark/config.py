@@ -70,6 +70,12 @@ class EngineConfig:
     #: don't bother folding below this many dead rows, whatever the ratio
     #: (a fold rewrites overlapping files — pointless for tiny DVs).
     auto_fold_min_dead: int = 10_000
+    #: automatic small-file compaction: after a commit, when more than this
+    #: many data files sit below half the target file size, bin-pack them
+    #: (icebox.maintenance.compact). Micro-batch COW otherwise shreds the
+    #: table into per-batch files and scan task count grows without bound.
+    #: Metadata-only check. None disables.
+    auto_compact_min_small_files: int | None = 64
 
     # --- payload -----------------------------------------------------------
     #: token vocabulary bound for validation (exclusive upper bound).

@@ -147,7 +147,35 @@ class CdcPipeline:
                 live = lineage["table_live_rows"]
                 self.metrics.gauge("table.live_rows", None, lambda: live)
             self._maybe_fold_deletes(batch_id)
+            self._maybe_compact(batch_id)
         return lineage
+
+    def _maybe_compact(self, batch_id: str) -> dict | None:
+        """Auto-schedule small-file compaction when the manifest shows too
+        many sub-half-target files (micro-batch COW shreds a table into
+        per-batch files; scan task count then grows without bound). Trigger
+        is metadata-only; the compaction commit is idempotent."""
+        bound = self.cfg.auto_compact_min_small_files
+        if bound is None:
+            return None
+        half = self.cfg.target_file_bytes // 2
+        small = sum(
+            1 for m in self.table.snapshot().manifests if m.num_bytes < half
+        )
+        if small <= bound:
+            return None
+        from kafka_connect_gcs_spark.icebox.maintenance import compact
+
+        with self.metrics.time("maintenance.compact", {"batch_id": batch_id}):
+            res = compact(self.table, target_bytes=self.cfg.target_file_bytes)
+        if not res.get("skipped"):
+            res["op"] = "compact"
+            res["ts"] = time.time()
+            self.ckpt.append_lineage(res)
+            self.metrics.meter(
+                res.get("compacted_files", 0), "maintenance.files_compacted"
+            )
+        return res
 
     def _maybe_fold_deletes(self, batch_id: str) -> dict | None:
         """Auto-schedule DV folding when read amplification crosses the

@@ -89,6 +89,42 @@ def test_expire_tombstones_drops_only_safe_watermarks(spark, tmp_path):
     )
 
 
+def test_auto_compact_triggers_during_pipeline_run(spark, tmp_path):
+    """With an aggressive small-file bound the pipeline compacts itself
+    mid-run: fewer files at the end than batches wrote, state exact, and
+    the maintenance commit appears in the lineage log."""
+    feed = str(tmp_path / "ac" / "feed")
+    write_feed(spark, SPEC, feed, num_segments=6)
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "ac" / "table"),
+        feed_path=feed,
+        checkpoint_path=str(tmp_path / "ac" / "ckpt"),
+        max_files_per_batch=1,
+        shuffle_partitions=8,
+        auto_compact_min_small_files=3,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.run_available()
+    compacts = [ln for ln in pipe.ckpt.lineage() if ln.get("op") == "compact"]
+    assert compacts and all(c["compacted_files"] >= 2 for c in compacts)
+    assert len(pipe.table.snapshot().manifests) <= 4
+    # state still exact vs an identical run without auto-compaction
+    cfg2 = EngineConfig(
+        table_path=str(tmp_path / "ac2" / "table"),
+        feed_path=feed,
+        checkpoint_path=str(tmp_path / "ac2" / "ckpt"),
+        max_files_per_batch=1,
+        shuffle_partitions=8,
+        auto_compact_min_small_files=None,
+    )
+    pipe2 = CdcPipeline(spark, cfg2)
+    pipe2.run_available()
+    assert _state(pipe.table) == _state(pipe2.table)
+    assert len(pipe2.table.snapshot().manifests) > len(
+        pipe.table.snapshot().manifests
+    )
+
+
 def test_expire_snapshots_reclaims_storage_and_keeps_time_travel(spark, tmp_path):
     import os
 
