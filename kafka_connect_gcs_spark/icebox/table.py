@@ -545,9 +545,24 @@ class IceboxTable:
         (
             writer_df.write.mode("overwrite")
             .option("maxRecordsPerFile", 2_000_000)
+            # parquet-native bloom filter on the key: point lookups prune at
+            # ROW-GROUP granularity below the manifest's file-level (min,max)
+            # pruning — free at read time (pushed predicates consult it)
+            .option("parquet.bloom.filter.enabled#doc_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#doc_id", "2000000")
             .parquet(out_dir)
         )
         return self._collect_manifests(out_dir, rel_dir, schema_id)
+
+    def point_lookup(self, doc_id: str, version: int | None = None):
+        """A6, end-to-end: manifest key-range pruning picks candidate FILES
+        on the driver; the pushed equality predicate then prunes ROW GROUPS
+        inside them via parquet stats + the doc_id bloom filter; DV
+        reconciliation applies as usual. Scan cost at 100 TB: the handful of
+        files whose (min,max) covers the key, minus bloom misses."""
+        return self.read(version=version, key_range=(doc_id, doc_id)).where(
+            F.col("doc_id") == doc_id
+        )
 
     def write_delete_files(
         self, dv: DataFrame, batch_id: str

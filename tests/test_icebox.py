@@ -137,3 +137,24 @@ def test_orphan_data_files_are_ignored(spark, table, tmp_path):
     # simulate: data written for b2 but commit never happened
     table.write_data_files(_df(spark, [("ghost", [0], 1, "web")]), "b2")
     assert table.read().where(F.col("doc_id") == "ghost").count() == 0
+
+
+def test_point_lookup_prunes_files_and_finds_winner(spark, table):
+    """A6 end-to-end: manifest range pruning selects the one candidate
+    file; the equality predicate is pushed to parquet (row-group stats +
+    the doc_id bloom filter written at flush time); result is exact."""
+    from kafka_connect_gcs_spark.plans.inspect import pushed_filters
+
+    rows = [(f"doc{i:03d}", [i], 1, "web") for i in range(200)]
+    _append(table, _df(spark, rows).repartitionByRange(8, F.col("doc_id")), "b1")
+    got = table.point_lookup("doc123").collect()
+    assert [(r.doc_id, list(r.tokens)) for r in got] == [("doc123", [123])]
+    # pruning actually happened: only overlapping files feed the scan
+    snap = table.snapshot()
+    cand = [m for m in snap.manifests if m.overlaps_keys("doc123", "doc123")]
+    assert len(cand) < len(snap.manifests)
+    # the equality predicate reaches the parquet scan
+    pf = pushed_filters(table.point_lookup("doc123"))
+    assert any("doc_id" in f for f in pf), pf
+    # missing key: no rows, same pruned plan
+    assert table.point_lookup("zzz-missing").count() == 0
