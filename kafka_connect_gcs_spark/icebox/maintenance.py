@@ -74,12 +74,14 @@ def compact(
     batch_id = f"compact-v{table.current_version()}"
     if batch_id in table.committed_batch_ids():
         return {"compacted_files": 0, "groups": 0, "skipped": True}
+    rows_est = sum(m.num_records for m in to_rewrite)
     new_manifests = table.write_data_files(
         df,
         batch_id,
         sort_within=(sort_col,),
         range_partition_col=sort_col,
         num_partitions=max(len(groups), 1),
+        bloom_ndv=min(2_000_000, max(1024, rows_est // max(len(groups), 1))),
     )
     # dead-row accounting from footers alone: the only rows a compaction
     # drops are DV-superseded ones, so live_before − live_after = purged dead
@@ -138,7 +140,11 @@ def fold_deletes(table: IceboxTable, sort_col: str = "doc_id") -> dict:
         snap.deletes,
     )
     new_manifests = table.write_data_files(
-        df, batch_id, sort_within=(sort_col,), range_partition_col=sort_col
+        df, batch_id, sort_within=(sort_col,), range_partition_col=sort_col,
+        bloom_ndv=min(
+            2_000_000,
+            max(1024, sum(m.num_records for m in affected) // 8 or 1024),
+        ),
     )
     lineage = {
         "folded_dvs": len(snap.deletes),

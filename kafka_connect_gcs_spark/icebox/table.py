@@ -490,6 +490,7 @@ class IceboxTable:
         sort_within: Sequence[str] = ("doc_id",),
         range_partition_col: str | None = "doc_id",
         num_partitions: int | None = None,
+        bloom_ndv: int | None = None,
     ) -> list[ManifestEntry]:
         """Write ``df`` as immutable Parquet under ``data/batch={batch_id}``
         and return manifest entries with footer-derived stats.
@@ -542,16 +543,24 @@ class IceboxTable:
             sort_cols = [c for c in sort_within if c in df.columns]
             if sort_cols:
                 writer_df = writer_df.sortWithinPartitions(*sort_cols)
-        (
-            writer_df.write.mode("overwrite")
-            .option("maxRecordsPerFile", 2_000_000)
+        writer = writer_df.write.mode("overwrite").option(
+            "maxRecordsPerFile", 2_000_000
+        )
+        if bloom_ndv:
             # parquet-native bloom filter on the key: point lookups prune at
             # ROW-GROUP granularity below the manifest's file-level (min,max)
-            # pruning — free at read time (pushed predicates consult it)
-            .option("parquet.bloom.filter.enabled#doc_id", "true")
-            .option("parquet.bloom.filter.expected.ndv#doc_id", "2000000")
-            .parquet(out_dir)
-        )
+            # pruning — free at read time (pushed predicates consult it).
+            # Sized by the CALLER's row estimate: parquet allocates ~10 bits
+            # per expected key (capped at 1 MiB), so a fixed large ndv would
+            # put a ~1 MiB floor under every tiny MoR append and defeat the
+            # sparse-write story.
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#doc_id", "true"
+            ).option(
+                "parquet.bloom.filter.expected.ndv#doc_id",
+                str(int(bloom_ndv)),
+            )
+        writer.parquet(out_dir)
         return self._collect_manifests(out_dir, rel_dir, schema_id)
 
     def point_lookup(self, doc_id: str, version: int | None = None):

@@ -456,7 +456,10 @@ def merge_into(
         merged, "doc_id", bounds, sort_cols=["doc_id"]
     )
     new_manifests = table.write_data_files(
-        out, batch_id, range_partition_col=None, sort_within=()
+        out, batch_id, range_partition_col=None, sort_within=(),
+        # bloom sized to the per-file row estimate (~10 bits/key): point
+        # lookups get row-group pruning without a fixed-size bloom floor
+        bloom_ndv=min(2_000_000, max(1024, est_rows // max(nb, 1))),
     )
     counters = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     # DV dead-row accounting: rewriting a touched file physically drops its
@@ -641,7 +644,10 @@ def _merge_mor(
         bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
     out = range_repartition_no_sampling(appended, "doc_id", bounds, ["doc_id"])
     new_manifests = table.write_data_files(
-        out, batch_id, range_partition_col=None, sort_within=()
+        out, batch_id, range_partition_col=None, sort_within=(),
+        # appends are change-sized; size the bloom to the batch, not the
+        # table, or a ~1 MiB bloom floor would defeat MoR's write savings
+        bloom_ndv=min(2_000_000, max(1024, events_in // max(nb, 1))),
     )
     c_nar = {k: (v or 0) for k, v in obs_nar.get.items()}
     # append-pass counters come free from the parquet footers (null-as-live
