@@ -317,6 +317,26 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=1, threshold=0.5)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Pairs → dedup DECISION: connected components (hash-to-min label
+    propagation, distributed fixpoint loop) over the exact-Jaccard near-dup
+    graph; smallest id per cluster survives. Oracle = DuckDB recursive CTE
+    transitive closure — a genuinely iterative algorithm, SQL-oracled."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        neardup_dedup_decision,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 120
+    )
+    pairs = ngram_jaccard_pairs(d, n=1, threshold=0.5)
+    dec = neardup_dedup_decision(pairs)
+    return dec.select(
+        "doc_id", "keep_id", F.col("drop").alias("is_drop")
+    )
+
+
 def q_minhash_lsh_neardup(spark, sf_dir):
     """The FULL MinHash-LSH pipeline (signatures → banded buckets →
     candidate join → exact-Jaccard verify) in engine-portable form: md5
@@ -707,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "dedup_exact_docs": q_dedup_exact_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "neardup_components": q_neardup_components,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk_quantized": q_ann_topk_quantized,
@@ -1106,6 +1127,30 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
           WHERE rank <= 10
+        """,
+        "neardup_components": f"""
+          WITH RECURSIVE w AS (
+            SELECT doc_id, list_distinct({_words_sql()}) AS sh
+            FROM documents WHERE doc_id < 120
+          ), pr AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                  THEN len(list_intersect(a.sh, b.sh))
+                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                  ELSE 0.0 END >= 0.5
+          ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pr
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pr
+          ), reach(node, lbl) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+          )
+          SELECT node AS doc_id, min(lbl) AS keep_id,
+                 (node <> min(lbl)) AS is_drop
+          FROM reach GROUP BY node
         """,
         "minhash_lsh_neardup": _minhash_lsh_sql(),
         "simhash_neardup": _simhash_sql(),

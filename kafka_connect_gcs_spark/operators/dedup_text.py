@@ -111,6 +111,93 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters → dedup decision
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for the undirected graph given as edge pairs, where
+    ``component`` is the smallest node id reachable — the standard
+    hash-to-min label propagation:
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    iterated to fixpoint. Each round is one self-join + groupBy-min over
+    (edge, label) rows — all partial-aggregating shuffles, no driver-side
+    graph, so it scales to edge sets that don't fit one machine; round
+    count is O(log(diameter)) in practice and near-dup clusters are
+    shallow. The fixpoint check is a cheap count of changed labels (AQE
+    coalesces the tiny intermediate shuffles).
+
+    This is the step that turns near-dup PAIRS (minhash/simhash/embedding)
+    into a dedup DECISION: keep ``component`` (the min id), drop the rest.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own label ∪ neighbors' labels, take the min
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "component")
+
+
+def neardup_dedup_decision(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, keep_id, drop): transitive closure via
+    :func:`connected_components`; the smallest id in each cluster survives.
+    Docs with no near-dup never appear (callers left-join and default
+    keep_id = doc_id, drop = false)."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        (F.col("node") != F.col("component")).alias("drop"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -214,6 +214,30 @@ def test_word_shingles_short_docs(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {("d", "e")}
 
 
+def test_connected_components_chain_ring_and_pairs(spark):
+    """Hash-to-min CC: a chain (needs multiple propagation rounds), a ring,
+    and a disjoint pair each collapse to their min id; non-edge nodes are
+    absent (callers default them to themselves)."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        connected_components,
+        neardup_dedup_decision,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+             (10, 11), (11, 12), (12, 10),        # ring
+             (20, 21)]                            # pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                  10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    dec = {
+        r.doc_id: (r.keep_id, r.drop)
+        for r in neardup_dedup_decision(pairs).collect()
+    }
+    assert dec[5] == (1, True) and dec[1] == (1, False)
+    assert dec[21] == (20, True) and dec[10] == (10, False)
+
+
 def test_winnow_guarantee_and_short_docs(spark):
     """Winnowing invariant: two docs sharing a substring of length ≥ k+w-1
     share at least one fingerprint hash (both hash paths); sub-k docs get
