@@ -454,6 +454,55 @@ def ingest_archive(pipe, tailer: "ArchiveTailer", max_polls: int = 1000) -> list
     return out
 
 
+def export_state_to_archive(
+    table,
+    root: str,
+    date_prefix: str,
+    fmt=None,
+    topic: str = "snapshot",
+    num_partitions: int = 4,
+    chunk_threshold: int = 64 * 1024 * 1024,
+) -> list[dict]:
+    """The sink direction of the bridge: materialize the table's current
+    LWW state back into the reference's archive layout, one partition per
+    hash bucket of doc_id, values = the same change-event JSON the ingest
+    side decodes. A reference-stack consumer can replay the archive with
+    the original connector; :func:`ingest_archive` round-trips it into an
+    identical table (offsets are preserved as the CDC ordering key)."""
+    from kafka_connect_gcs_spark.operators.merge import read_state
+    from pyspark.sql import Window
+
+    state = read_state(table)
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)).cast("int")
+    payload = F.to_json(
+        F.struct(
+            "doc_id",
+            F.col("last_offset").alias("offset"),
+            F.lit("I").alias("op"),
+            "tokens",
+            "n_tok",
+            "source",
+        )
+    )
+    w = Window.partitionBy("partition").orderBy("doc_id")
+    recs = (
+        state.withColumn("partition", part)
+        .select(
+            F.lit(topic).alias("topic"),
+            "partition",
+            payload.cast("binary").alias("value"),
+            F.col("doc_id").cast("binary").alias("key"),
+            "doc_id",
+        )
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .select("topic", "partition", "offset", "key", "value")
+    )
+    return write_archive(
+        recs, root, date_prefix, fmt or ByteLengthFormat(include_keys=True),
+        chunk_threshold=chunk_threshold,
+    )
+
+
 class ArchiveTailer:
     """The reference's live source loop over an archive: poll for records
     past the stored offsets, emit them, max-merge the offsets forward

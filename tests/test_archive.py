@@ -386,6 +386,52 @@ def test_archive_to_cdc_bridge_end_to_end(spark, root, tmp_path):
     assert ingest_archive(pipe, ArchiveTailer(spark, root, FMT, offsets=dict(tailer.offsets))) == []
 
 
+def test_export_state_roundtrips_through_archive(spark, root, tmp_path):
+    """Sink direction: table state → reference-layout archive → re-ingest
+    into a FRESH table reproduces the exact state (tokens, offsets and
+    all) — full bidirectional interop."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.operators.merge import read_state
+    from kafka_connect_gcs_spark.sources.archive import (
+        ArchiveTailer,
+        export_state_to_archive,
+        ingest_archive,
+    )
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+    feed = str(tmp_path / "feed")
+    write_feed(
+        spark,
+        BinlogSpec(num_events=3000, num_docs=500, num_partitions=3, seed=99,
+                   delete_fraction=0.1),
+        feed, 3,
+    )
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "t1"), feed_path=feed,
+        checkpoint_path=str(tmp_path / "c1"), shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.run_available()
+    want = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source, r.last_offset)
+        for r in read_state(pipe.table).collect()
+    )
+    manifest = export_state_to_archive(pipe.table, root, "2026-08-16")
+    assert {m["topic"] for m in manifest} == {"snapshot"}
+    cfg2 = EngineConfig(
+        table_path=str(tmp_path / "t2"), feed_path=str(tmp_path / "nofeed"),
+        checkpoint_path=str(tmp_path / "c2"), shuffle_partitions=8,
+    )
+    pipe2 = CdcPipeline(spark, cfg2)
+    ingest_archive(pipe2, ArchiveTailer(spark, root, FMT))
+    got = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source, r.last_offset)
+        for r in read_state(pipe2.table).collect()
+    )
+    assert got == want
+
+
 def test_corrupt_chunk_raises_with_coordinates(spark, root):
     """A truncated/garbled data file fails loudly with chunk coordinates —
     the reference's DataException('Corrupt record at …') analog, not a
