@@ -454,6 +454,46 @@ def ingest_archive(pipe, tailer: "ArchiveTailer", max_polls: int = 1000) -> list
     return out
 
 
+def tail_archive_forever(
+    pipe,
+    tailer: "ArchiveTailer",
+    poll_interval_s: float = 30.0,
+    stop_after_batches: "int | None" = None,
+    stop_after_idle_polls: "int | None" = None,
+    sleep_fn=None,
+) -> list:
+    """The reference's poll loop (A28) over a live archive: drain whatever
+    is visible, then sleep ``poll_interval_s`` and re-list — new flushes
+    appear as new lexicographic keys and are picked up exactly-once (the
+    frontier-derived batch_id absorbs replays). The stop_* knobs exist for
+    tests; production passes None and runs until killed."""
+    import time as _time
+
+    sleep = sleep_fn or _time.sleep
+    out: list = []
+    idle = 0
+    while True:
+        got = ingest_archive(
+            pipe,
+            tailer,
+            max_polls=(
+                1000
+                if stop_after_batches is None
+                else max(stop_after_batches - len(out), 0)
+            ),
+        )
+        out.extend(got)
+        if stop_after_batches is not None and len(out) >= stop_after_batches:
+            return out
+        if not got:
+            idle += 1
+            if stop_after_idle_polls is not None and idle >= stop_after_idle_polls:
+                return out
+            sleep(poll_interval_s)
+        else:
+            idle = 0
+
+
 def export_state_to_archive(
     table,
     root: str,

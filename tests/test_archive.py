@@ -386,6 +386,60 @@ def test_archive_to_cdc_bridge_end_to_end(spark, root, tmp_path):
     assert ingest_archive(pipe, ArchiveTailer(spark, root, FMT, offsets=dict(tailer.offsets))) == []
 
 
+def test_tail_archive_forever_picks_up_new_flushes(spark, root, tmp_path):
+    """A28 over archives: the poll loop drains, idles, and catches a flush
+    that lands between polls — exactly-once, no duplicates."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.operators.merge import read_state
+    from kafka_connect_gcs_spark.sources.archive import (
+        ArchiveTailer,
+        tail_archive_forever,
+    )
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, generate_changes
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+    from pyspark.sql import Window
+
+    ch = generate_changes(
+        spark, BinlogSpec(num_events=1200, num_docs=300, num_partitions=2, seed=55)
+    ).cache()
+    payload = F.to_json(F.struct("doc_id", "offset", "op", "tokens", "n_tok", "source"))
+    w = Window.partitionBy("part").orderBy("delivery_seq")
+    recs = ch.select(
+        F.lit("changes").alias("topic"),
+        F.col("part").cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+    ).cache()
+    write_archive(recs.where(F.col("offset") < 300), root, "2026-08-16", FMT)
+
+    pipe = CdcPipeline(
+        spark,
+        EngineConfig(
+            table_path=str(tmp_path / "t"), feed_path=str(tmp_path / "nf"),
+            checkpoint_path=str(tmp_path / "c"), shuffle_partitions=8,
+        ),
+    )
+    tailer = ArchiveTailer(spark, root, FMT)
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 1:  # a new flush lands while the loop idles
+            write_archive(
+                recs.where(F.col("offset") >= 300), root, "2026-08-16", FMT
+            )
+
+    lineages = tail_archive_forever(
+        pipe, tailer, poll_interval_s=0.01,
+        stop_after_idle_polls=2, sleep_fn=fake_sleep,
+    )
+    assert len(lineages) >= 2 and sleeps  # idled at least once mid-stream
+    total = sum(ln["events_in"] for ln in lineages)
+    assert total == ch.count()
+    assert read_state(pipe.table).count() > 0
+
+
 def test_export_state_roundtrips_through_archive(spark, root, tmp_path):
     """Sink direction: table state → reference-layout archive → re-ingest
     into a FRESH table reproduces the exact state (tokens, offsets and
