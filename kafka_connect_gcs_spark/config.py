@@ -88,6 +88,12 @@ class EngineConfig:
     #: feed partitions to SKIP — the reference's ``topics.ignore`` deny-list
     #: (GCSSourceTask.java:88-93, README.md:190). Applied after parts_allow.
     parts_ignore: tuple | None = None
+    #: source-label allow-list — the reference's ``topics`` list maps HERE
+    #: (topics are source labels, like targetTopic.* remaps the source
+    #: column), NOT onto the numeric feed partitions above.
+    source_allow: tuple | None = None
+    #: source-label deny-list (``topics.ignore``). Applied after source_allow.
+    source_ignore: tuple | None = None
     #: begin mid-feed WITHOUT a checkpoint: segments lexicographically below
     #: this name are skipped on first start — the reference's
     #: ``gcs.start.marker`` (GCSSourceConfig.java:9, GCSFilesReader.java:148-158,
@@ -136,11 +142,14 @@ class EngineConfig:
             if k.startswith("targetTopic."):
                 remap[k[len("targetTopic."):]] = str(v)
             elif k == "topics":
-                kw["parts_allow"] = tuple(
+                # topics are SOURCE LABELS (strings) — filtering the int
+                # feed-partition column with them would ANSI-crash or
+                # silently drop everything
+                kw["source_allow"] = tuple(
                     x.strip() for x in str(v).split(",") if x.strip()
                 )
             elif k == "topics.ignore":
-                kw["parts_ignore"] = tuple(
+                kw["source_ignore"] = tuple(
                     x.strip() for x in str(v).split(",") if x.strip()
                 )
             elif k == "gcs.start.marker":
@@ -153,7 +162,17 @@ class EngineConfig:
                 kw["error_backoff_s"] = float(v)
             elif k == "compressed_block_size":
                 kw["target_file_bytes"] = int(v)
-            elif k in fields:  # engine-native name (snake_case) wins as-is
+            elif k in fields:
+                # engine-native name — coerce from the string a .properties
+                # file delivers to the field's declared type
+                ftype = {f.name: f.type for f in dataclasses.fields(EngineConfig)}[k]
+                if isinstance(v, str):
+                    if ftype in ("int", "int | None"):
+                        v = int(v)
+                    elif ftype in ("float", "float | None"):
+                        v = float(v)
+                    elif ftype == "bool":
+                        v = v.lower() == "true"
                 kw[k] = v
         leftovers = {
             k: v

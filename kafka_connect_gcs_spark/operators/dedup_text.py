@@ -176,6 +176,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels move one hop per round, so max_iterations bounds the
+        # reachable graph diameter — silently returning would split one
+        # transitive cluster into several "components" (duplicates kept)
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds it); raise max_iterations"
+        )
     edges.unpersist()
     return labels.select("node", "component")
 

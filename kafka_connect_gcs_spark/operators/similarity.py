@@ -344,22 +344,18 @@ def ivf_topk_prepartitioned(
     non-probed directory at scan planning time (visible as PartitionFilters
     in the plan) — no bytes read from unprobed buckets."""
     store = spark.read.parquet(path)
-    probed = sorted(
-        {
-            int(c)
-            for row in queries.select(query_id_col, vec_col).collect()
-            for c in _probe_centroids(centroids, row[1], nprobe)
-        }
-    )
-    pruned = store.where(F.col("centroid").isin(probed))
-    # per-query probe membership re-checked on the (broadcast) join so each
-    # query only scores ITS buckets, not the union of all queries' buckets
+    # ONE collect of the (small, broadcastable) query set; probe ranking per
+    # query once, the partition-pruning set derived from the same pairs
     qrows = queries.select(query_id_col, vec_col).collect()
     probe_pairs = [
         (int(r[0]), int(c))
         for r in qrows
         for c in _probe_centroids(centroids, r[1], nprobe)
     ]
+    probed = sorted({c for _, c in probe_pairs})
+    pruned = store.where(F.col("centroid").isin(probed))
+    # per-query probe membership re-checked on the (broadcast) join so each
+    # query only scores ITS buckets, not the union of all queries' buckets
     qdf = spark.createDataFrame(
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         f"{query_id_col} long, _qvec array<float>",

@@ -234,6 +234,19 @@ def write_archive(
         topic = str(pdf["topic"].iloc[0])
         part = int(pdf["partition"].iloc[0])
         first = int(pdf["offset"].iloc[0])
+        # the layout derives record offsets from POSITION (chunk
+        # first_record_offset + index, like the reference's readers), so a
+        # flush must be offset-dense per partition — gaps or duplicates
+        # would silently renumber records on read. Fail loudly instead.
+        import numpy as np
+
+        offs = pdf["offset"].to_numpy(dtype="int64")
+        if not (offs == first + np.arange(len(offs))).all():
+            raise ValueError(
+                f"archive flush for {topic}-{part} requires dense "
+                f"contiguous offsets starting at {first}; got gaps or "
+                "duplicates (the layout reconstructs offsets by position)"
+            )
         has_headers = "headers" in pdf.columns
         frames = []
         for i in range(len(pdf)):
@@ -349,8 +362,6 @@ def plan_archive_scan(
         m = KEY_RE.match(key)
         if not m:  # suffix/shape filter (A3)
             continue
-        if start_marker is not None and key < start_marker:
-            continue  # gcs.start.marker (GCSFilesReader.java:148-158)
         topic, part = m.group("topic"), int(m.group("part"))
         name_offset = int(m.group("offset"))
         if topics is not None and topic not in topics:
@@ -360,6 +371,11 @@ def plan_archive_scan(
         if partitions is not None and part not in partitions:
             continue
         committed = offsets.get((topic, part))
+        # gcs.start.marker (GCSFilesReader.java:148-158) — PER PARTITION:
+        # a stored offset wins for ITS partition only; partitions without
+        # one still honor the marker (Connect offsets work per partition)
+        if committed is None and start_marker is not None and key < start_marker:
+            continue
         resume_after = -1
         if committed is not None:
             ckey, coff = committed
@@ -575,8 +591,9 @@ class ArchiveTailer:
         self.partitions = partitions
         #: Map<GCSPartition, GCSOffset> analog; monotone max-merged (A26)
         self.offsets: dict = dict(offsets or {})
-        # a stored offset wins over the marker, like Connect offsets do
-        self.start_marker = None if self.offsets else start_marker
+        #: applied per partition by plan_archive_scan: a stored offset wins
+        #: for its own partition, others still honor the marker
+        self.start_marker = start_marker
         self.max_chunks_per_poll = max_chunks_per_poll
 
     def poll(self) -> "DataFrame | None":
@@ -595,27 +612,43 @@ class ArchiveTailer:
         if not plan:
             return None
         df = _decode_plan(self.spark, self.root, self.fmt, plan)
+        indexless = [p for p in plan if p["last_offset"] < 0]
+        if indexless:
+            # learn indexless files' max offsets from the data in ONE pass
+            # over a cached decode (a per-file agg would re-decode every
+            # planned chunk once per file; the caller reuses the cache)
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            maxima = {
+                (r.topic, r.partition): r.mx
+                for r in df.groupBy("topic", "partition")
+                .agg(F.max("offset").alias("mx"))
+                .collect()
+            }
+            for p in indexless:
+                p["last_offset"] = maxima.get(
+                    (p["topic"], p["partition"]), -1
+                ) if maxima.get((p["topic"], p["partition"])) is not None else -1
         # advance offsets from the PLANNED chunks only (a truncated poll must
         # not skip unread chunks); GCSOffset order = (key, offset) lexicographic
+        advanced = False
         for p in plan:
             tp = (p["topic"], p["partition"])
             last = p["last_offset"]
             if last < 0:
-                # indexless file: learn the max offset from the data (rare)
-                last = (
-                    df.where(
-                        (F.col("topic") == tp[0]) & (F.col("partition") == tp[1])
-                        & (F.col("offset") >= F.lit(p["first_record_offset"]))
-                    )
-                    .agg(F.max("offset"))
-                    .collect()[0][0]
-                )
-                if last is None:
-                    continue
+                continue  # indexless file with nothing new in it
             prev = self.offsets.get(tp)
             cand = (p["data_key"], last)
             if prev is None or cand > prev:
                 self.offsets[tp] = cand
+                advanced = True
+        if not advanced and indexless:
+            # every planned chunk was already consumed (e.g. a fully-read
+            # indexless file that can't be pruned by metadata): report
+            # caught-up instead of handing the caller an empty batch forever
+            df.unpersist()
+            return None
         return df
 
 

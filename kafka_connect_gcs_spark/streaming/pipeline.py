@@ -217,6 +217,12 @@ class CdcPipeline:
         # topics / topics.ignore predicates (GCSSourceTask.java:88-93)
         if self.cfg.parts_ignore is not None and "part" in raw.columns:
             raw = raw.where(~F.col("part").isin(list(self.cfg.parts_ignore)))
+        # source-label allow/deny (the reference's topics / topics.ignore —
+        # topics are labels, so they filter `source`, never the int part)
+        if self.cfg.source_allow is not None and "source" in raw.columns:
+            raw = raw.where(F.col("source").isin(list(self.cfg.source_allow)))
+        if self.cfg.source_ignore is not None and "source" in raw.columns:
+            raw = raw.where(~F.col("source").isin(list(self.cfg.source_ignore)))
         # A24: source-label remap (the reference's targetTopic.* routing)
         if self.cfg.source_remap:
             mapping = F.create_map(

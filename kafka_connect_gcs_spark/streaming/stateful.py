@@ -76,7 +76,14 @@ def streaming_sessionize(stream: DataFrame, gap_seconds: float = 1800.0) -> Data
     In-batch work is vectorized numpy (sort → diff > gap → cumsum gives
     session ids in three array ops); the carried state is three scalars per
     key. Sequential per-key logic is inherent to sessionization — this is
-    the applyInPandasWithState shape from the SURVEY §2 streaming list."""
+    the applyInPandasWithState shape from the SURVEY §2 streaming list.
+
+    Late data: a cross-batch late event merges into (or opens a session
+    before) the carried session via a sorted adjacent-merge — it is never
+    silently absorbed into a later session. If a merge moves an
+    already-emitted session's start, the session re-emits under the new
+    start; downstream either compacts by overlap or bounds lateness with a
+    watermark upstream."""
     gap = float(gap_seconds)
 
     def update(key, pdfs, state: GroupState):
@@ -94,14 +101,23 @@ def streaming_sessionize(stream: DataFrame, gap_seconds: float = 1800.0) -> Data
         firsts = ts[boundaries]
         lasts = ts[np.concatenate((boundaries[1:], [True]))]  # sorted ⇒ max
         counts = np.bincount(sid)
-        sessions = list(zip(firsts, lasts, counts))
+        sessions = [(float(f), float(last), int(n)) for f, last, n in
+                    zip(firsts, lasts, counts)]
         if cur is not None:
+            # fold the carried session into the batch's (time-ordered)
+            # session list and re-merge adjacent ones. A signed gap check
+            # against only the FIRST batch session would absorb an event
+            # arbitrarily EARLIER than the carried session into it; sorting
+            # + adjacent-merge handles late-vs-carried in either direction.
             s0, l0, n0 = cur
-            if sessions and sessions[0][0] - l0 <= gap:
-                f, last, n = sessions[0]
-                sessions[0] = (s0, max(l0, last), n0 + int(n))
-            else:
-                sessions.insert(0, (s0, l0, int(n0)))
+            allses = sorted(sessions + [(float(s0), float(l0), int(n0))])
+            sessions = [allses[0]]
+            for f, last, n in allses[1:]:
+                pf, pl, pn = sessions[-1]
+                if f - pl <= gap:
+                    sessions[-1] = (pf, max(pl, last), pn + n)
+                else:
+                    sessions.append((f, last, n))
         for f, last, n in sessions[:-1]:
             out.append((f, last, int(n), True))
         f, last, n = sessions[-1]

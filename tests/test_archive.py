@@ -515,3 +515,35 @@ def test_header_chunk_is_skipped_by_readers(spark, root):
     assert index.chunks[0].num_records == 0  # A30 header chunk
     got = read_archive(spark, root, FMT)
     assert sorted(r.offset for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_write_archive_rejects_non_dense_offsets(spark, root):
+    """The layout reconstructs offsets by position — gaps must fail loudly,
+    not silently renumber."""
+    rows = [("t", 0, o, b"k", b"v") for o in (0, 1, 5, 6)]  # gap at 2-4
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, key binary, value binary"
+    )
+    with pytest.raises(Exception) as ei:
+        write_archive(df, root, "2026-08-16", FMT)
+    assert "dense" in str(ei.value)
+
+
+def test_tailer_per_partition_start_marker(spark, root):
+    """A stored offset wins for ITS partition only; a partition without one
+    still honors gcs.start.marker (Connect offsets are per partition)."""
+    from kafka_connect_gcs_spark.sources.archive import ArchiveTailer
+
+    write_archive(_records_df(spark, "a", 0, 0, 10), root, "2026-08-16", FMT)
+    write_archive(_records_df(spark, "b", 0, 0, 10), root, "2026-08-17", FMT)
+    akey = "2026-08-16/a-00000-000000000000.gz"
+    tail = ArchiveTailer(
+        spark, root, FMT,
+        offsets={("a", 0): (akey, 4)},
+        start_marker="2026-08-17/",  # below: only topic a's stored offset
+    )
+    df = tail.poll()
+    got = {(r.topic, r.offset) for r in df.collect()}
+    # topic a resumes from its offset (marker ignored for it);
+    # topic b starts at the marker (its whole file is above it)
+    assert got == {("a", o) for o in range(5, 10)} | {("b", o) for o in range(10)}

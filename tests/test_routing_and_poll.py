@@ -191,17 +191,25 @@ def test_config_from_reference_properties():
             "format": "binary",
             "format.include.keys": "true",
             "merge_mode": "mor",
+            "vocab_size": "50257",
+            "hot_key_fraction": "0.05",
         }
     )
     assert cfg.start_marker == "seg=00000100"
-    assert cfg.parts_allow == ("web", "mail")
-    assert cfg.parts_ignore == ("spam",)
+    # topics are SOURCE LABELS: they filter the source column, never the
+    # int feed partition (filtering part with strings would crash/drop all)
+    assert cfg.source_allow == ("web", "mail")
+    assert cfg.source_ignore == ("spam",)
+    assert cfg.parts_allow is None and cfg.parts_ignore is None
     assert cfg.max_files_per_batch == 500
     assert cfg.poll_interval_s == 30.0
     assert cfg.error_backoff_s == 1.0
     assert cfg.target_file_bytes == 64 * 1024 * 1024
     assert cfg.source_remap == {"web": "web-archive"}
     assert cfg.merge_mode == "mor"  # engine-native key passes through
+    # .properties values are strings — engine-native keys coerce by type
+    assert cfg.vocab_size == 50257 and isinstance(cfg.vocab_size, int)
+    assert cfg.hot_key_fraction == 0.05
     # format.* keys remain available for create_format
     fmt = create_format(cfg.properties)
     assert fmt.include_keys is True
@@ -216,3 +224,35 @@ def test_top_level_exports_are_lazy():
     assert callable(pkg.read_archive) and callable(pkg.write_archive)
     assert callable(pkg.ingest_archive)
     assert callable(pkg.create_format) and callable(pkg.create_metrics)
+
+
+def test_source_label_filters(spark, feed):
+    """topics/topics.ignore filter the SOURCE LABEL column (the reference's
+    topics are labels), composing with the numeric partition filters."""
+    base = spark.read.parquet(feed["feed"])
+    sources = {r.source for r in base.select("source").distinct().collect()}
+    assert len(sources) >= 2
+    keep = sorted(sources)[0]
+    cfg = EngineConfig(
+        table_path=str(feed["root"] / "sl" / "table"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(feed["root"] / "sl" / "ckpt"),
+        source_allow=(keep,),
+        shuffle_partitions=8,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.run_available()
+    got = {r.source for r in read_state(pipe.table).select("source").collect()}
+    assert got == {keep}
+    # deny-list: everything except `keep`
+    cfg2 = EngineConfig(
+        table_path=str(feed["root"] / "sl2" / "table"),
+        feed_path=feed["feed"],
+        checkpoint_path=str(feed["root"] / "sl2" / "ckpt"),
+        source_ignore=(keep,),
+        shuffle_partitions=8,
+    )
+    pipe2 = CdcPipeline(spark, cfg2)
+    pipe2.run_available()
+    got2 = {r.source for r in read_state(pipe2.table).select("source").collect()}
+    assert got2 == sources - {keep}
