@@ -554,8 +554,9 @@ def _quantized(df):
 def q_ann_topk_quantized(spark, sf_dir):
     """Exact top-k cosine over integer-quantized embeddings — every
     arithmetic op is exact or single-rounded, so DuckDB reproduces the sims
-    bit-for-bit (unlike raw float32 accumulation)."""
-    from pyspark.sql import Window
+    bit-for-bit (unlike raw float32 accumulation). Finalized via the
+    bounded two-phase top-k (no full-relation window on query_id)."""
+    from kafka_connect_gcs_spark.operators.similarity import topk_per_query
 
     e = _quantized(_t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 5).select(
@@ -578,8 +579,7 @@ def q_ann_topk_quantized(spark, sf_dir):
             "sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    return topk_per_query(scored, 10)
 
 
 def q_ann_topk_float(spark, sf_dir):
@@ -613,9 +613,9 @@ def q_ann_topk_ivf(spark, sf_dir):
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = ivf_topk(e, q, k=10, num_centroids=16, nprobe=4, iterations=10).select(
-        "query_id", "vec_id"
-    )
+    ivf = ivf_topk(
+        e, q, k=10, num_centroids=16, nprobe=4, iterations=10, cache_key=sf_dir
+    ).select("query_id", "vec_id")
     truth = brute_force_topk(e, q, k=10).select("query_id", "vec_id")
     hits = ivf.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("hits")

@@ -22,6 +22,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Bounded two-phase top-k finalization shared by the ANN family.
+
+    A single ``Window.partitionBy(query_id)`` over the full scored relation
+    funnels every corpus×|Q| scored row through |Q| reducer tasks and fully
+    sorts it there — at 100× scale that serializes on |Q| cores and can OOM
+    a reducer. Instead:
+
+    * phase 1 keeps the top k per query WITHIN each input partition — an
+      Arrow-batched running head over (query_id, id, sim) triples, ZERO
+      shuffle, ≤ k·|Q| rows retained per partition regardless of partition
+      size;
+    * phase 2 runs the exact rank window over the ≤ partitions·k·|Q|
+      survivors, so the only exchange partitioned by query_id consumes a
+      bounded metadata-scale relation.
+
+    Local top-k under the total order (sim desc, id asc) is a superset of
+    the global top-k, so the result is row-identical to the single-window
+    plan (ties cannot exist: id is unique per query).
+    """
+    narrow = scored.select(query_id_col, id_col, sim_col)
+    sort_keys = [query_id_col, sim_col, id_col]
+    asc = [True, False, True]  # sim desc, id asc — same order as the window
+
+    def local_topk(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            cur = cur.sort_values(sort_keys, ascending=asc, kind="mergesort")
+            acc = cur.groupby(query_id_col, sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    survivors = narrow.mapInPandas(local_topk, schema=narrow.schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(sim_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, sim_col, "rank")
+    )
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -60,14 +112,7 @@ def brute_force_topk(
         id_col,
         F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
-    )
+    return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)
 
 
 def brute_force_topk_pandas(
@@ -111,11 +156,7 @@ def brute_force_topk_pandas(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"query_id long, {id_col} long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k, id_col=id_col)
 
 
 def _centroid_matrix(centroids):
@@ -179,6 +220,16 @@ def _train_centroids_numpy(sample_rows, num_centroids: int, iterations: int):
     return [(i, [float(x) for x in C[i]]) for i in range(num_centroids)]
 
 
+#: process-level memo of trained coarse quantizers. Training is fully
+#: deterministic (hash-ordered bounded sample, fixed init), so a cache hit is
+#: bit-identical to retraining — it only skips the sample collect + Lloyd
+#: iterations. At production scale the centroids are write-once index
+#: metadata persisted beside the data (see :func:`ivf_write`); this cache is
+#: the in-process stand-in for "load the index metadata instead of
+#: rebuilding it per query".
+_CENTROID_CACHE: dict = {}
+
+
 def ivf_assign(
     df: DataFrame,
     num_centroids: int = 16,
@@ -187,6 +238,8 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_per_centroid: int = 256,
+    centroids: "list | None" = None,
+    cache_key=None,
 ):
     """IVF coarse quantizer. Returns (assignments df with ``centroid``
     column, centroids as a python list of (cid, vector)).
@@ -204,15 +257,21 @@ def ivf_assign(
       consumer's scan. At true 100 TB scale this column is what you'd
       precompute at write time and store as a partition key.
     """
-    sample = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(num_centroids * sample_per_centroid)
-        .collect()
-    )
-    centroids = _train_centroids_numpy(
-        [[float(x) for x in r[0]] for r in sample], num_centroids, iterations
-    )
+    memo_key = (cache_key, num_centroids, iterations, seed, sample_per_centroid)
+    if centroids is None and cache_key is not None:
+        centroids = _CENTROID_CACHE.get(memo_key)
+    if centroids is None:
+        sample = (
+            df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(num_centroids * sample_per_centroid)
+            .collect()
+        )
+        centroids = _train_centroids_numpy(
+            [[float(x) for x in r[0]] for r in sample], num_centroids, iterations
+        )
+        if cache_key is not None:
+            _CENTROID_CACHE[memo_key] = centroids
     assigned = df.withColumn(
         "centroid", assign_centroid_expr(centroids, F.col(vec_col))
     )
@@ -230,18 +289,26 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     iterations: int = 3,
+    centroids: "list | None" = None,
+    cache_key=None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to centroids once, then score
     each query only against its ``nprobe`` nearest centroid buckets — the
     classic recall/cost dial (nprobe=num_centroids ⇒ exact brute force).
     At 100 TB the corpus assignment is a write-once partitioning column and
-    the per-query work drops by ~num_centroids/nprobe."""
+    the per-query work drops by ~num_centroids/nprobe.
+
+    Pass ``centroids`` (e.g. the return value of :func:`ivf_write`) to reuse
+    a trained quantizer, or ``cache_key`` to memoize training per corpus —
+    the index is metadata you build once, not per query."""
     assigned, centroids = ivf_assign(
         corpus,
         num_centroids=num_centroids,
         iterations=iterations,
         seed=seed,
         vec_col=vec_col,
+        centroids=centroids,
+        cache_key=cache_key,
     )
     import math
 
@@ -286,13 +353,7 @@ def ivf_topk(
             F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)
 
 
 def ivf_write(
@@ -370,13 +431,7 @@ def ivf_topk_prepartitioned(
             F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)
 
 
 def _probe_centroids(centroids, qvec, nprobe: int) -> list:

@@ -114,3 +114,20 @@ def test_validation_expr_stays_in_codegen(spark):
     df = ch.where(valid_expr())
     assert num_python_udf_nodes(df) == 0
     assert codegen_stage_count(df) >= 1
+
+
+def test_ann_topk_exchange_is_bounded(spark, sf_dir):
+    """The ANN finalization must not funnel the full scored relation
+    through an exchange partitioned only by query_id (a |Q|-task sort at
+    scale): the local per-partition top-k (MapInPandas) must feed the
+    window's exchange, bounding it to ≤ partitions·k·|Q| rows."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("ann_topk_quantized", "ann_topk_float"):
+        plan = explain_str(qs[name](spark, sf_dir), mode="simple")
+        i = plan.find("Exchange hashpartitioning(query_id")
+        assert i >= 0, plan
+        assert "MapInPandas" in plan[i:], (
+            f"{name}: window exchange consumes the full scored relation"
+        )

@@ -294,3 +294,53 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         FakeCodec().resize([b"x"], 8, 8)
+
+
+def test_topk_two_phase_matches_single_window(spark):
+    """topk_per_query (local per-partition head + bounded final window)
+    must be row-identical to the naive single-window plan it replaced —
+    including sim ties across vec_ids, which the (sim desc, id asc) total
+    order resolves identically in both phases."""
+    from pyspark.sql import Window
+
+    from kafka_connect_gcs_spark.operators.similarity import topk_per_query
+
+    scored = (
+        spark.range(2000)
+        .select(
+            (F.col("id") % 4).alias("query_id"),
+            F.col("id").alias("vec_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(50)) / 50.0).alias("sim"),
+        )
+        .repartition(8)
+        .cache()
+    )
+    got = topk_per_query(scored, 7).collect()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .select("query_id", "vec_id", "sim", "rank")
+        .collect()
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    scored.unpersist()
+
+
+def test_ivf_centroid_cache_hits_and_matches(spark, emb):
+    """cache_key memoizes the trained quantizer; a hit must be
+    bit-identical to retraining (training is deterministic)."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        _CENTROID_CACHE,
+        ivf_assign,
+    )
+
+    _CENTROID_CACHE.clear()
+    _, fresh = ivf_assign(emb, num_centroids=4, iterations=2, cache_key="k1")
+    assert len(_CENTROID_CACHE) == 1
+    _, cached = ivf_assign(emb, num_centroids=4, iterations=2, cache_key="k1")
+    _, retrained = ivf_assign(emb, num_centroids=4, iterations=2)
+    assert cached == fresh == retrained
