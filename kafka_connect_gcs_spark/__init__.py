@@ -35,6 +35,8 @@ def __getattr__(name):
         "read_archive": ("kafka_connect_gcs_spark.sources.archive", "read_archive"),
         "write_archive": ("kafka_connect_gcs_spark.sources.archive", "write_archive"),
         "ingest_archive": ("kafka_connect_gcs_spark.sources.archive", "ingest_archive"),
+        "ArchiveFilter": ("kafka_connect_gcs_spark.sources.archive", "ArchiveFilter"),
+        "GzipFilter": ("kafka_connect_gcs_spark.sources.archive", "GzipFilter"),
         "create_format": ("kafka_connect_gcs_spark.sources.formats", "create_format"),
         "create_metrics": ("kafka_connect_gcs_spark.metrics", "create_metrics"),
     }

@@ -28,9 +28,27 @@ class EngineConfig:
     feed_path: str = "/tmp/icebox/feed"
     checkpoint_path: str = "/tmp/icebox/checkpoint"
     #: max feed files consumed per micro-batch — mirrors ``max.poll.records``
-    #: (GCSSourceTask.java:126-128) / ``gcs.page.size`` (GCSSourceTask.java:164)
-    #: batch-bounding, but at file granularity like maxFilesPerTrigger.
+    #: (GCSSourceTask.java:126-128, default 1000) batch-bounding, at file
+    #: granularity like maxFilesPerTrigger.
     max_files_per_batch: int = 64
+    #: max feed segments VISIBLE per listing pass — the reference's
+    #: ``gcs.page.size`` (GCSSourceTask.java:164, default 100): a bound on
+    #: the object LISTING, independent of the poll-batch bound above (the
+    #: reference treats them as separate knobs; one poll may span several
+    #: listing pages and one page may feed several batches). The poll loop
+    #: re-lists, so later pages are picked up on the next poll. None = no
+    #: paging.
+    listing_page_size: int | None = 100
+    #: the reference's ``tasks`` count (GCSSourceTask.java:45-53). Spark's
+    #: scheduler owns task placement (A22), so this is a PRESERVED HINT for
+    #: migrating .properties files, not a scheduling input — recorded so
+    #: the intent isn't silently dropped.
+    num_tasks: int | None = None
+    #: the reference's ``tasks.splitTopics`` (hash(topic) % taskCount
+    #: assignment, GCSSourceTask.java:175-193). n/a under Spark — shuffles
+    #: already hash-partition by key across executors — but preserved for
+    #: the same reason as num_tasks.
+    split_topics_across_tasks: bool = False
 
     # --- shuffle / skew ----------------------------------------------------
     #: UPPER BOUND on merge-write fan-out; the actual partition count is
@@ -154,8 +172,15 @@ class EngineConfig:
                 )
             elif k == "gcs.start.marker":
                 kw["start_marker"] = str(v)
-            elif k in ("max.poll.records", "gcs.page.size"):
+            elif k == "max.poll.records":
                 kw["max_files_per_batch"] = int(v)
+            elif k == "gcs.page.size":
+                # a LISTING bound, distinct from the poll-batch bound
+                kw["listing_page_size"] = int(v)
+            elif k in ("tasks", "tasks.max"):
+                kw["num_tasks"] = int(v)
+            elif k == "tasks.splitTopics":
+                kw["split_topics_across_tasks"] = str(v).lower() == "true"
             elif k == "gcs.new.record.poll.interval":
                 kw["poll_interval_s"] = float(v)
             elif k == "gcs.error.backoff":
@@ -181,6 +206,7 @@ class EngineConfig:
             and k not in (
                 "topics", "topics.ignore", "gcs.start.marker",
                 "max.poll.records", "gcs.page.size",
+                "tasks", "tasks.max", "tasks.splitTopics",
                 "gcs.new.record.poll.interval", "gcs.error.backoff",
                 "compressed_block_size",
             )

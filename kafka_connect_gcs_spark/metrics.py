@@ -172,6 +172,73 @@ class JsonlMetrics(Metrics):
         self._emit("gauge", name, get_value(), tags)
 
 
+def parse_tags(config: dict) -> "list[str] | None":
+    """DatadogMetrics.parseTags: ``tags`` config value ``"a:b,c:d"`` →
+    ``["a:b", "c:d"]``; absent or empty → None."""
+    raw = str(config.get("tags", "") or "").strip()
+    if not raw:
+        return None
+    return [t.strip() for t in raw.split(",") if t.strip()]
+
+
+class StatsdLineMetrics(Metrics):
+    """Dogstatsd/statsd wire-line reporter — the offline analog of the
+    reference's Datadog reporter (DatadogMetrics.java:117-157): per-metric
+    tag maps are sorted by key and joined ``k:v,k2:v2`` exactly like its
+    ``name(name, tags)`` cache key, then emitted as one dogstatsd line
+
+        {prefix.}name:value|{c|h|g|ms}|#tags
+
+    Config: ``prefix`` (optional name prefix), ``tags`` (constant global
+    tags, DatadogMetrics.parseTags format), ``host``/``port`` (UDP target;
+    when absent, lines buffer in ``self.lines`` so the FORMAT is testable
+    offline, mirroring DatadogMetricsTest's ``test.noreport``)."""
+
+    TYPE = {"meter": "c", "hist": "h", "gauge": "g", "timer": "ms"}
+
+    def __init__(self, config: dict | None = None):
+        config = config or {}
+        self.prefix = str(config.get("prefix", "") or "")
+        self.global_tags = parse_tags(config) or []
+        self.host = config.get("host")
+        self.port = int(config.get("port", 8125))
+        self.lines: list[str] = []
+        self._lock = threading.Lock()
+        self._sock = None
+        if self.host:
+            import socket
+
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def format_line(self, kind: str, name: str, value, tags: dict | None) -> str:
+        full = f"{self.prefix}.{name}" if self.prefix else name
+        line = f"{full}:{value}|{self.TYPE[kind]}"
+        # per-emission tags sorted by key (DatadogMetrics.java:122-130's
+        # comparingByKey), then the constant global tags
+        parts = [f"{k}:{v}" for k, v in sorted((tags or {}).items())]
+        parts += self.global_tags
+        if parts:
+            line += "|#" + ",".join(parts)
+        return line
+
+    def _emit(self, kind: str, name: str, value, tags: dict | None) -> None:
+        line = self.format_line(kind, name, value, tags)
+        with self._lock:
+            if self._sock is not None:
+                self._sock.sendto(line.encode(), (str(self.host), self.port))
+            else:
+                self.lines.append(line)
+
+    def meter(self, count, name, tags=None):
+        self._emit("meter", name, count, tags)
+
+    def hist(self, value, name, tags=None):
+        self._emit("hist", name, value, tags)
+
+    def gauge(self, name, tags, get_value):
+        self._emit("gauge", name, get_value(), tags)
+
+
 class CompositeMetrics(Metrics):
     """Fan out to several reporters (e.g. jsonl + recording)."""
 
@@ -200,6 +267,9 @@ ALIASES = {
     "noop": NoOpMetrics,
     "recording": RecordingMetrics,
     "jsonl": JsonlMetrics,
+    "statsd": StatsdLineMetrics,
+    # the reference's alias for its dogstatsd-backed reporter
+    "datadog": StatsdLineMetrics,
 }
 
 

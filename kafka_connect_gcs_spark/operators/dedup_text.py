@@ -122,17 +122,27 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """(node, component) for the undirected graph given as edge pairs, where
-    ``component`` is the smallest node id reachable — the standard
-    hash-to-min label propagation:
+    ``component`` is the smallest node id reachable — hash-to-min label
+    propagation with POINTER JUMPING:
 
         label(v) ← min(label(v), min over neighbors u of label(u))
+        label(v) ← label(label(v))            # pointer jump
 
-    iterated to fixpoint. Each round is one self-join + groupBy-min over
-    (edge, label) rows — all partial-aggregating shuffles, no driver-side
-    graph, so it scales to edge sets that don't fit one machine; round
-    count is O(log(diameter)) in practice and near-dup clusters are
-    shallow. The fixpoint check is a cheap count of changed labels (AQE
-    coalesces the tiny intermediate shuffles).
+    iterated to fixpoint. The neighbor step alone moves the min label one
+    hop per round (O(diameter) rounds — a chain-shaped dup cluster
+    degrades linearly); the jump step re-reads each node's label THROUGH
+    its current label, roughly doubling the propagated distance per round,
+    so convergence is O(log diameter) — the same mechanism as
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). The jump is sound because label(u) ≤ u is an
+    invariant (labels start at the node id and only min-decrease), so
+    label(label(v)) ≤ label(v) and both name nodes in v's component.
+
+    Each round is two self-joins + a groupBy-min over (edge, label) rows —
+    all partial-aggregating shuffles, no driver-side graph, so it scales
+    to edge sets that don't fit one machine. The fixpoint check is a cheap
+    count of changed labels (AQE coalesces the tiny intermediate
+    shuffles).
 
     This is the step that turns near-dup PAIRS (minhash/simhash/embedding)
     into a dedup DECISION: keep ``component`` (the min id), drop the rest.
@@ -159,12 +169,30 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        new_labels = (
+        hopped = (
             labels.select("node", "component")
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # pointer jump: component ← label(component). Left join + coalesce
+        # guards the (impossible by invariant) case of a label naming a
+        # node outside the label set.
+        parents = hopped.select(
+            F.col("node").alias("component"), F.col("component").alias("_parent")
+        )
+        # localCheckpoint (not persist): the jump references `hopped` twice,
+        # so without lineage truncation the logical plan DOUBLES per round
+        # and plan construction itself OOMs after ~8 rounds. Checkpointing
+        # each round's labels keeps the plan O(1) per round; label rows are
+        # one (node, component) pair per node — metadata-scale storage.
+        new_labels = (
+            hopped.join(parents, "component", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -177,9 +205,9 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # labels move one hop per round, so max_iterations bounds the
-        # reachable graph diameter — silently returning would split one
-        # transitive cluster into several "components" (duplicates kept)
+        # propagation reach grows ~2× per round, so max_iterations bounds
+        # ~log2(diameter) — silently returning would split one transitive
+        # cluster into several "components" (duplicates kept)
         edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

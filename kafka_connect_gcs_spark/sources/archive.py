@@ -54,6 +54,35 @@ from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat, CorruptRec
 #: {topic}-{ppppp}-{oooooooooooo}.gz — GCSFilesReader.java:58-63
 KEY_RE = re.compile(r"(?:.*/)?(?P<topic>.+)-(?P<part>\d{5})-(?P<offset>\d{12})\.gz$")
 
+
+class ArchiveFilter:
+    """Pluggable per-chunk codec between frame bytes and the object store —
+    the reference's InputFilter hook (GCSFilesReader.java:413-420), which
+    lets users inject e.g. decryption between the GET and the frame parse.
+
+    ``encode`` runs in the writer after framing (its output is the stored
+    chunk blob; ``ChunkDescriptor.byte_length`` measures it), ``decode``
+    runs in the reader before frame parsing. Implementations MUST be
+    picklable: both sides execute inside Arrow-batched executor tasks.
+    The default (:class:`GzipFilter`) keeps the reference's block-gzip
+    layout byte-compatible."""
+
+    def encode(self, raw: bytes) -> bytes:
+        raise NotImplementedError
+
+    def decode(self, blob: bytes) -> bytes:
+        raise NotImplementedError
+
+
+class GzipFilter(ArchiveFilter):
+    """InputFilter.GUNZIP analog — the layout's default block codec."""
+
+    def encode(self, raw: bytes) -> bytes:
+        return gzip.compress(raw, mtime=0)
+
+    def decode(self, blob: bytes) -> bytes:
+        return gzip.decompress(blob)  # multi-member safe
+
 RECORDS_SCHEMA = T.StructType(
     [
         T.StructField("topic", T.StringType()),
@@ -153,18 +182,21 @@ def _write_block_gzip(
     first_offset: int,
     chunk_threshold: int,
     header_bytes: "bytes | None" = None,
+    io_filter: "ArchiveFilter | None" = None,
 ) -> ChunksIndex:
     """One block-gzip file: rotate to a new gzip member when the incoming
     record would push the chunk past the uncompressed threshold
     (BlockGZIPFileWriter.java:191-200). An optional file header becomes its
     OWN zero-record chunk so readers can skip it by index alone (A30,
-    BlockGZIPFileWriter.java:142-150)."""
+    BlockGZIPFileWriter.java:142-150). ``io_filter`` swaps the per-chunk
+    codec (A9; default block-gzip)."""
+    io_filter = io_filter or GzipFilter()
     chunks: list[ChunkDescriptor] = []
     out = io.BytesIO()
 
     def flush_chunk(raw: bytes, first: int, count: int) -> None:
         at = out.tell()
-        blob = gzip.compress(raw, mtime=0)
+        blob = io_filter.encode(raw)
         out.write(blob)
         chunks.append(
             ChunkDescriptor(
@@ -207,6 +239,7 @@ def write_archive(
     fmt=None,
     chunk_threshold: int = 64 * 1024 * 1024,
     header_bytes: "bytes | None" = None,
+    io_filter: "ArchiveFilter | None" = None,
 ) -> list[dict]:
     """Flush a batch of (topic, partition, offset, key, value[, headers])
     rows into the reference layout under ``{root}/{date_prefix}/``. One
@@ -269,7 +302,7 @@ def write_archive(
         name = data_file_name(topic, part, first)
         data_path = os.path.join(day_dir, name)
         index = _write_block_gzip(
-            data_path, frames, first, chunk_threshold, header_bytes
+            data_path, frames, first, chunk_threshold, header_bytes, io_filter
         )
         ipath = index_key_for(data_path)
         tmp = ipath + ".inprogress"
@@ -582,10 +615,12 @@ class ArchiveTailer:
         offsets: "dict[tuple[str, int], tuple[str, int]] | None" = None,
         start_marker: "str | None" = None,
         max_chunks_per_poll: "int | None" = None,
+        io_filter: "ArchiveFilter | None" = None,
     ):
         self.spark = spark
         self.root = root
         self.fmt = fmt or ByteLengthFormat(include_keys=True)
+        self.io_filter = io_filter
         self.topics = topics
         self.topics_ignore = topics_ignore
         self.partitions = partitions
@@ -611,7 +646,7 @@ class ArchiveTailer:
             plan = plan[: self.max_chunks_per_poll]
         if not plan:
             return None
-        df = _decode_plan(self.spark, self.root, self.fmt, plan)
+        df = _decode_plan(self.spark, self.root, self.fmt, plan, self.io_filter)
         indexless = [p for p in plan if p["last_offset"] < 0]
         if indexless:
             # learn indexless files' max offsets from the data in ONE pass
@@ -661,12 +696,14 @@ def read_archive(
     partitions: "set[int] | None" = None,
     offsets: "dict[tuple[str, int], tuple[str, int]] | None" = None,
     start_marker: "str | None" = None,
+    io_filter: "ArchiveFilter | None" = None,
 ) -> DataFrame:
     """Archive → DataFrame(topic, partition, offset, key, value, headers).
 
     The plan (tiny metadata) is built on the driver; chunk decode fans out
     as an Arrow-batched ``mapInPandas`` with one ranged read per chunk —
-    ≤ one uncompressed block of memory per task, chunk-count parallelism."""
+    ≤ one uncompressed block of memory per task, chunk-count parallelism.
+    ``io_filter`` must match the writer's (A9; default block-gzip)."""
     fmt = fmt or ByteLengthFormat(include_keys=True)
     plan = plan_archive_scan(
         root,
@@ -676,12 +713,17 @@ def read_archive(
         offsets=offsets,
         start_marker=start_marker,
     )
-    return _decode_plan(spark, root, fmt, plan)
+    return _decode_plan(spark, root, fmt, plan, io_filter)
 
 
 def _decode_plan(
-    spark: SparkSession, root: str, fmt, plan: list[dict]
+    spark: SparkSession,
+    root: str,
+    fmt,
+    plan: list[dict],
+    io_filter: "ArchiveFilter | None" = None,
 ) -> DataFrame:
+    io_filter = io_filter or GzipFilter()
     if not plan:
         return spark.createDataFrame([], RECORDS_SCHEMA)
     plan_schema = (
@@ -717,7 +759,7 @@ def _decode_plan(
                     f.seek(boff)  # ranged read (GCSFilesReader.java:278-297)
                     blob = f.read() if blen < 0 else f.read(blen)
                 try:
-                    raw = gzip.decompress(blob)  # multi-member safe
+                    raw = io_filter.decode(blob)
                     recs = fmt.decode(raw)
                 except CorruptRecord:
                     raise

@@ -401,13 +401,23 @@ class CdcPipeline:
             while i < len(segs) and segs[i] < self.cfg.start_marker:
                 i += 1
         batches = 0
-        while i < len(segs):
+        # gcs.page.size: one listing pass exposes at most a page of
+        # segments past the checkpoint (GCSSourceTask.java:164); draining
+        # a page triggers a RE-LIST for the next page — paging bounds the
+        # listing, independent of max_files_per_batch (the records-per-poll
+        # analog, which bounds each batch WITHIN a page)
+        page = self.cfg.listing_page_size
+        page_end = i + page if page is not None else len(segs)
+        while i < min(len(segs), page_end):
             if max_batches is not None and batches >= max_batches:
                 break
-            batch = segs[i : i + self.cfg.max_files_per_batch]
+            batch = segs[i : i + min(self.cfg.max_files_per_batch, page_end - i)]
             lineage = self.run_batch(batch)
             i += len(batch)
             batches += 1
+            if i >= page_end and page is not None:
+                segs = _list_segments(self.cfg.feed_path)
+                page_end = i + page
             if lineage is not None:
                 out.append(lineage)
                 for p, pm in lineage.get("partitions", {}).items():

@@ -547,3 +547,54 @@ def test_tailer_per_partition_start_marker(spark, root):
     # topic a resumes from its offset (marker ignored for it);
     # topic b starts at the marker (its whole file is above it)
     assert got == {("a", o) for o in range(5, 10)} | {("b", o) for o in range(10)}
+
+
+def test_pluggable_io_filter_roundtrip(spark, root):
+    """A9: a non-gzip chunk codec round-trips through writer, reader, and
+    tailer; the default gzip reader must FAIL on the obfuscated bytes
+    (proving the filter actually transformed the stored chunks)."""
+    from kafka_connect_gcs_spark.sources.archive import (
+        ArchiveTailer,
+        read_archive,
+        write_archive,
+    )
+
+    class XorGzipFilter:
+        """Test stand-in for an encryption filter: gzip then XOR-obfuscate
+        (GCSFilesReader.java:413-420's InputFilter hook lets users inject
+        decryption between GET and parse). Defined locally so cloudpickle
+        ships it by value to executors, like a user's ad-hoc filter."""
+
+        def __init__(self, key: int = 0x5A):
+            self.key = key
+
+        def encode(self, raw: bytes) -> bytes:
+            import gzip as _g
+
+            return bytes(b ^ self.key for b in _g.compress(raw, mtime=0))
+
+        def decode(self, blob: bytes) -> bytes:
+            import gzip as _g
+
+            return _g.decompress(bytes(b ^ self.key for b in blob))
+
+    filt = XorGzipFilter()
+    src = _records_df(spark, "enc", 0, 0, 40)
+    write_archive(src, root, "2026/08/17", chunk_threshold=128, io_filter=filt)
+
+    got = _collect(read_archive(spark, root, io_filter=filt))
+    assert got == _collect(src)
+
+    with pytest.raises(Exception) as ei:
+        read_archive(spark, root).collect()  # default gzip can't parse
+    assert "Corrupt" in str(ei.value), str(ei.value)[:300]
+
+    tailer = ArchiveTailer(spark, root, io_filter=filt)
+    first = tailer.poll()
+    assert first is not None and first.count() == 40
+    assert tailer.poll() is None
+    # resume semantics unchanged under a custom filter
+    more = _records_df(spark, "enc", 0, 40, 5)
+    write_archive(more, root, "2026/08/17", chunk_threshold=128, io_filter=filt)
+    nxt = tailer.poll()
+    assert sorted(r.offset for r in nxt.collect()) == list(range(40, 45))

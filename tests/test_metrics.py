@@ -86,7 +86,7 @@ def test_create_metrics_factory(tmp_path):
          "metrics.reporter.name": "t2"}
     )
     assert isinstance(m2, RecordingMetrics)
-    assert set(ALIASES) == {"noop", "recording", "jsonl"}
+    assert set(ALIASES) == {"noop", "recording", "jsonl", "statsd", "datadog"}
 
 
 def test_pipeline_emits_per_batch_metrics(spark, tmp_path):
@@ -162,3 +162,66 @@ def test_pipeline_metrics_from_properties(spark, tmp_path):
     assert {"meter", "hist", "gauge"} <= kinds
     names = {r["name"] for r in rows}
     assert {"batch.time", "batch.rate", "events.in", "table.live_rows"} <= names
+
+
+def test_statsd_line_golden_format():
+    """Golden-format case mirroring DatadogMetricsTest.metricsAreTagged:
+    same name + different tags are distinct lines, multi-tag maps sort by
+    key regardless of insertion order, and the dogstatsd line shape is
+    {prefix.}name:value|type|#tags."""
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
+
+    m = StatsdLineMetrics({"prefix": "connect"})
+    m.hist(1, "foo", {"foo": "bar"})
+    m.hist(2, "foo", {"foo": "baz"})
+    m.meter(2, "fooMeter", {"foo": "baz", "bar": "qux"})
+    m.meter(2, "fooMeter", {"bar": "qux", "foo": "baz"})  # same key order
+    m.gauge("depth", None, lambda: 7)
+    with m.time("poll", {"topic": "t"}):
+        pass
+    assert m.lines[:5] == [
+        "connect.foo:1|h|#foo:bar",
+        "connect.foo:2|h|#foo:baz",
+        "connect.fooMeter:2|c|#bar:qux,foo:baz",
+        "connect.fooMeter:2|c|#bar:qux,foo:baz",
+        "connect.depth:7|g",
+    ]
+    # StopTimer emits {name}.time (ns hist) + {name}.rate (meter 1)
+    assert m.lines[5].startswith("connect.poll.time:") and m.lines[5].endswith(
+        "|h|#topic:t"
+    )
+    assert m.lines[6] == "connect.poll.rate:1|c|#topic:t"
+
+
+def test_statsd_global_tags_and_parse_tags():
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics, parse_tags
+
+    assert parse_tags({"tags": "a:b,c:d,longer_name:has-a-value"}) == [
+        "a:b", "c:d", "longer_name:has-a-value"
+    ]
+    assert parse_tags({}) is None
+    assert parse_tags({"tags": ""}) is None
+
+    m = StatsdLineMetrics({"tags": "env:prod,dc:us"})
+    m.meter(1, "x", {"k": "v"})
+    assert m.lines == ["x:1|c|#k:v,env:prod,dc:us"]
+
+
+def test_statsd_registry_dedupes_like_reference():
+    """DatadogMetricsTest.configureMetricsDedupes: same reporter+name →
+    same instance; different name → different instance."""
+    from kafka_connect_gcs_spark.metrics import create_metrics
+
+    a = create_metrics({"metrics.reporter": "statsd",
+                        "metrics.reporter.name": "testA"})
+    a2 = create_metrics({"metrics.reporter": "statsd",
+                         "metrics.reporter.name": "testA"})
+    b = create_metrics({"metrics.reporter": "statsd",
+                        "metrics.reporter.name": "testB"})
+    assert a is a2 and a is not b
+    # the reference's own alias maps to the same implementation
+    d = create_metrics({"metrics.reporter": "datadog",
+                        "metrics.reporter.name": "testC"})
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
+
+    assert isinstance(d, StatsdLineMetrics)

@@ -256,3 +256,52 @@ def test_source_label_filters(spark, feed):
     pipe2.run_available()
     got2 = {r.source for r in read_state(pipe2.table).select("source").collect()}
     assert got2 == sources - {keep}
+
+
+def test_page_size_tasks_properties_map_distinctly():
+    """gcs.page.size is a LISTING bound, not the poll-batch bound
+    (GCSSourceTask.java:126-128 vs :164 treat them independently);
+    tasks / tasks.splitTopics are preserved as typed intent rather than
+    silently falling into leftover properties."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_properties(
+        {
+            "max.poll.records": "500",
+            "gcs.page.size": "120",
+            "tasks": "8",
+            "tasks.splitTopics": "true",
+        }
+    )
+    assert cfg.max_files_per_batch == 500
+    assert cfg.listing_page_size == 120
+    assert cfg.num_tasks == 8
+    assert cfg.split_topics_across_tasks is True
+    for k in ("gcs.page.size", "tasks", "tasks.splitTopics"):
+        assert k not in cfg.properties
+
+
+def test_listing_page_bounds_segments_per_pass(spark, tmp_path):
+    """With a 2-segment listing page and max_files_per_batch=1, every
+    batch stays within a page, pages are re-listed after draining, and the
+    full feed is still consumed exactly once."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+    feed = str(tmp_path / "feed")
+    write_feed(spark, BinlogSpec(num_events=600, num_docs=80, seed=3), feed, 5)
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "table"),
+        feed_path=feed,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_batch=1,
+        listing_page_size=2,
+        shuffle_partitions=4,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    total = spark.read.parquet(feed).count()  # includes injected duplicates
+    lineages = pipe.run_available()
+    assert len(lineages) == 5  # 1 segment per batch, all 5 consumed
+    assert sum(ln["events_in"] for ln in lineages) == total
+    assert pipe.run_available() == []  # nothing left, no replay

@@ -344,3 +344,18 @@ def test_ivf_centroid_cache_hits_and_matches(spark, emb):
     _, cached = ivf_assign(emb, num_centroids=4, iterations=2, cache_key="k1")
     _, retrained = ivf_assign(emb, num_centroids=4, iterations=2)
     assert cached == fresh == retrained
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    """Pointer jumping makes convergence O(log diameter): a 50-node chain
+    (diameter 49) must converge within 8 rounds — the pre-jump algorithm
+    moved the min label one hop per round and raised at 20."""
+    from kafka_connect_gcs_spark.operators.dedup_text import connected_components
+
+    edges = [(i, i + 1) for i in range(49)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iterations=8).collect()
+    }
+    assert cc == {i: 0 for i in range(50)}
