@@ -159,13 +159,41 @@ def brute_force_topk_pandas(
     return topk_per_query(scored, k, id_col=id_col)
 
 
-def _centroid_matrix(centroids):
-    """(flat literal matrix, half-norms literal, cids literal, dim)."""
-    dim = len(centroids[0][1])
-    flat = [float(x) for _, v in centroids for x in v]
-    half_norms = [sum(x * x for x in v) / 2.0 for _, v in centroids]
-    cids = [int(c) for c, _ in centroids]
-    return F.lit(flat), F.lit(half_norms), F.lit(cids), dim
+def _dlit(values) -> "F.Column":
+    """Double-array literal built in ONE parsed expression. ``F.lit(list)``
+    costs a py4j round-trip PER ELEMENT (~1.5 s for a 1024-float centroid
+    matrix, measured — pure driver-side plan-construction overhead); the
+    D-suffixed SQL literal parse is bit-exact (Double.parseDouble of
+    repr()) and two orders of magnitude cheaper."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
+def _ilit(values) -> "F.Column":
+    return F.expr("array(" + ",".join(str(int(v)) for v in values) + ")")
+
+
+#: built literal Columns memoized per centroid set: Columns are immutable
+#: plan fragments, so reusing them across queries skips both the py4j
+#: construction and the SQL parse on every call after the first.
+_LITERAL_CACHE: dict = {}
+
+
+def _centroid_literals(centroids):
+    """(flat matrix M, half-norms N2, norms N, cids CID, dim) as cached
+    literal Columns for the assignment / probe-ranking expressions."""
+    import math
+
+    key = tuple((int(c), tuple(float(x) for x in v)) for c, v in centroids)
+    hit = _LITERAL_CACHE.get(key)
+    if hit is None:
+        dim = len(centroids[0][1])
+        flat = [x for _, v in centroids for x in v]
+        half = [sum(x * x for x in v) / 2.0 for _, v in centroids]
+        norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in centroids]
+        cids = [c for c, _ in centroids]
+        hit = (_dlit(flat), _dlit(half), _dlit(norms), _ilit(cids), dim)
+        _LITERAL_CACHE[key] = hit
+    return hit
 
 
 def assign_centroid_expr(centroids, vec):
@@ -179,7 +207,7 @@ def assign_centroid_expr(centroids, vec):
     corpus, which is the property that matters at 10^10 rows. Each score is
     computed exactly once (transform then array_max); ties break to the
     smallest cid via the negated second struct field."""
-    M, N2, CID, dim = _centroid_matrix(centroids)
+    M, N2, _, CID, dim = _centroid_literals(centroids)
     idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     entries = F.transform(
         idxs,
@@ -257,6 +285,14 @@ def ivf_assign(
       consumer's scan. At true 100 TB scale this column is what you'd
       precompute at write time and store as a partition key.
     """
+    # a small input (fewer partitions than cores) is spread with one
+    # round-robin repartition first: the interpreted-HOF assignment is
+    # embarrassingly parallel and otherwise pins to the input's file count
+    # (same rule as minhash/simhash; a no-op at scale where the scan
+    # already has >= core-count partitions)
+    target_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target_parallelism:
+        df = df.repartition(target_parallelism)
     memo_key = (cache_key, num_centroids, iterations, seed, sample_per_centroid)
     if centroids is None and cache_key is not None:
         centroids = _CENTROID_CACHE.get(memo_key)
@@ -316,11 +352,7 @@ def ivf_topk(
     # centroids are tiny: per-query probe set from the same compact literal
     # matrix (expression size O(1) in num_centroids).
     def probe_set_expr(qvec_col):
-        dim = len(centroids[0][1])
-        flat = [float(x) for _, v in centroids for x in v]
-        norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for _, v in centroids]
-        cids = [int(c) for c, _ in centroids]
-        M, N, CID = F.lit(flat), F.lit(norms), F.lit(cids)
+        M, _, N, CID, dim = _centroid_literals(centroids)
         idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
         scores = F.transform(
             idxs,
