@@ -215,6 +215,40 @@ def bench_production_ops(spark) -> dict:
     return out
 
 
+#: a measurement pass whose window saw more hypervisor steal than this is
+#: repeated (minima merged) — identical runs swing 2-13× during steal
+#: episodes on this shared host, and best-of-N inside ONE noisy window
+#: doesn't help when the episode outlasts the window
+STEAL_TOLERANCE = float(os.environ.get("SPARK_GRAFT_STEAL_TOLERANCE", "1.0"))
+MAX_NOISE_RETRIES = int(os.environ.get("SPARK_GRAFT_MAX_NOISE_RETRIES", "2"))
+
+
+def measure_pass(spark, work_dir: str, tag: str) -> dict:
+    """One full measurement pass: CDC best-of-REPEATS + all queries
+    best-of-REPEATS. Returns {"cdc": ..., "queries": {...}, "steal": pct}."""
+    t_before, s_before = read_cpu_stat()
+    out: dict = {"cdc": None, "queries": {}}
+    if MODE in ("all", "cdc"):
+        # best-of-REPEATS: the minimum is the engine's number, the rest is
+        # noisy neighbors. Each repeat uses a fresh table/checkpoint dir
+        # (same generated feed, cached under work_dir).
+        runs = []
+        for r in range(REPEATS):
+            wd = os.path.join(work_dir, f"{tag}-r{r}")
+            os.makedirs(wd, exist_ok=True)
+            runs.append(bench_cdc(spark, wd, shared_feed=work_dir))
+        cdc = min(runs, key=lambda x: x["seconds"])
+        cdc["runs_seconds"] = [x["seconds"] for x in runs]
+        out["cdc"] = cdc
+    if MODE in ("all", "queries"):
+        out["queries"] = bench_queries(spark)
+    t_after, s_after = read_cpu_stat()
+    out["steal"] = round(
+        100.0 * (s_after - s_before) / max(t_after - t_before, 1), 2
+    )
+    return out
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -226,33 +260,34 @@ def main() -> None:
         "cpus": CPUS,
         "queries": {},
     }
-    t_before, s_before = read_cpu_stat()
     try:
+        best_cdc = None
+        best_q: dict = {}
+        steals = []
+        for attempt in range(1 + MAX_NOISE_RETRIES):
+            p = measure_pass(spark, work_dir, f"p{attempt}")
+            steals.append(p["steal"])
+            if p["cdc"] is not None and (
+                best_cdc is None or p["cdc"]["seconds"] < best_cdc["seconds"]
+            ):
+                best_cdc = p["cdc"]
+            for k, v in p["queries"].items():
+                best_q[k] = min(best_q.get(k, v), v)
+            if p["steal"] <= STEAL_TOLERANCE:
+                break
         total = 0.0
-        if MODE in ("all", "cdc"):
-            # best-of-REPEATS: this shared host shows steal episodes that
-            # swing identical runs 2-6× (NOTES_r2); the minimum is the
-            # engine's number, the rest is noisy neighbors. Each repeat uses
-            # a fresh table/checkpoint dir (same generated feed).
-            runs = []
-            for r in range(REPEATS):
-                wd = os.path.join(work_dir, f"r{r}")
-                os.makedirs(wd, exist_ok=True)
-                runs.append(bench_cdc(spark, wd, shared_feed=work_dir))
-            cdc = min(runs, key=lambda x: x["seconds"])
-            cdc["runs_seconds"] = [x["seconds"] for x in runs]
-            result["cdc"] = cdc
-            result["events_per_sec"] = cdc["events_per_sec"]
-            result["queries"]["cdc_ingest_e2e"] = cdc["seconds"]
-            total += cdc["seconds"]
-        if MODE in ("all", "queries"):
-            qsecs = bench_queries(spark)
-            result["queries"].update(qsecs)
-            total += sum(qsecs.values())
+        if best_cdc is not None:
+            result["cdc"] = best_cdc
+            result["events_per_sec"] = best_cdc["events_per_sec"]
+            result["queries"]["cdc_ingest_e2e"] = best_cdc["seconds"]
+            total += best_cdc["seconds"]
+        result["queries"].update(best_q)
+        total += sum(best_q.values())
         result["value"] = round(total, 3)
-        t_after, s_after = read_cpu_stat()
-        dt = max(t_after - t_before, 1)
-        result["host_steal_pct"] = round(100.0 * (s_after - s_before) / dt, 2)
+        # steal of the LAST (accepted) pass plus the full history, so a
+        # reader can tell a clean number from a noise-floored one
+        result["host_steal_pct"] = steals[-1]
+        result["host_steal_pct_per_pass"] = steals
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
         spark.stop()
