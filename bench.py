@@ -100,15 +100,10 @@ def build_spark(cpus: int):
     )
 
 
-def bench_cdc(spark, work_dir: str, shared_feed: "str | None" = None) -> dict:
-    """End-to-end ingest throughput on a deterministic synthetic binlog with
-    hot-key skew, duplicates and out-of-order delivery (feed generation is
-    input prep and excluded from the timed window)."""
-    from kafka_connect_gcs_spark.config import EngineConfig
-    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
-    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+def _feed_spec():
+    from kafka_connect_gcs_spark.sources.binlog import BinlogSpec
 
-    spec = BinlogSpec(
+    return BinlogSpec(
         num_events=N_EVENTS,
         num_docs=max(N_EVENTS // 5, 1000),
         num_partitions=32,
@@ -119,14 +114,37 @@ def bench_cdc(spark, work_dir: str, shared_feed: "str | None" = None) -> dict:
         delete_fraction=0.15,
         shuffle_window=max(N_EVENTS // 100, 1),
     )
+
+
+def ensure_feed(spark, shared_feed: str) -> str:
+    """Generate (once) and return the cached feed dir. Called OUTSIDE the
+    per-pass steal window: feed generation is input prep, and minutes of
+    mostly-clean generation inside the window would dilute a steal episode
+    below the retry tolerance."""
+    from kafka_connect_gcs_spark.sources.binlog import write_feed
+
+    spec = _feed_spec()
+    feed_dir = os.path.join(
+        FEED_CACHE or shared_feed, f"feed-{N_EVENTS}-{spec.seed}"
+    )
+    marker = os.path.join(feed_dir, "_DONE")
+    if not os.path.exists(marker):
+        write_feed(spark, spec, feed_dir, num_segments=8)
+        open(marker, "w").close()
+    return feed_dir
+
+
+def bench_cdc(spark, work_dir: str, shared_feed: "str | None" = None) -> dict:
+    """End-to-end ingest throughput on a deterministic synthetic binlog with
+    hot-key skew, duplicates and out-of-order delivery (feed generation is
+    input prep and excluded from the timed window)."""
+    from kafka_connect_gcs_spark.config import EngineConfig
+    from kafka_connect_gcs_spark.sources.binlog import write_feed
+    from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
+
+    spec = _feed_spec()
     if FEED_CACHE or shared_feed:
-        feed_dir = os.path.join(
-            FEED_CACHE or shared_feed, f"feed-{N_EVENTS}-{spec.seed}"
-        )
-        marker = os.path.join(feed_dir, "_DONE")
-        if not os.path.exists(marker):
-            write_feed(spark, spec, feed_dir, num_segments=8)
-            open(marker, "w").close()
+        feed_dir = ensure_feed(spark, shared_feed or "")
     else:
         feed_dir = os.path.join(work_dir, "feed")
         write_feed(spark, spec, feed_dir, num_segments=8)
@@ -261,6 +279,8 @@ def main() -> None:
         "queries": {},
     }
     try:
+        if MODE in ("all", "cdc"):
+            ensure_feed(spark, work_dir)  # input prep, outside steal windows
         best_cdc = None
         best_q: dict = {}
         steals = []

@@ -225,7 +225,14 @@ class StatsdLineMetrics(Metrics):
         line = self.format_line(kind, name, value, tags)
         with self._lock:
             if self._sock is not None:
-                self._sock.sendto(line.encode(), (str(self.host), self.port))
+                try:
+                    self._sock.sendto(line.encode(), (str(self.host), self.port))
+                except OSError:
+                    # fire-and-forget like every statsd client: a down
+                    # daemon / DNS hiccup (ConnectionRefusedError after the
+                    # ICMP port-unreachable, gaierror) must never fail the
+                    # ingest batch that emitted the metric
+                    pass
             else:
                 self.lines.append(line)
 

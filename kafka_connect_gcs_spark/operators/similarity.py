@@ -164,8 +164,18 @@ def _dlit(values) -> "F.Column":
     costs a py4j round-trip PER ELEMENT (~1.5 s for a 1024-float centroid
     matrix, measured — pure driver-side plan-construction overhead); the
     D-suffixed SQL literal parse is bit-exact (Double.parseDouble of
-    repr()) and two orders of magnitude cheaper."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+    repr()) and two orders of magnitude cheaper. Non-finite components
+    (a NaN centroid from dirty embeddings) have no bare-literal form, so
+    they go through CAST('NaN'/'Infinity' AS DOUBLE)."""
+    import math
+
+    def one(v: float) -> str:
+        if math.isfinite(v):
+            return repr(v) + "D"
+        s = "NaN" if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+        return f"CAST('{s}' AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(one(float(v)) for v in values) + ")")
 
 
 def _ilit(values) -> "F.Column":
@@ -293,7 +303,10 @@ def ivf_assign(
     target_parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parallelism:
         df = df.repartition(target_parallelism)
-    memo_key = (cache_key, num_centroids, iterations, seed, sample_per_centroid)
+    memo_key = (
+        cache_key, num_centroids, iterations, seed, sample_per_centroid,
+        id_col, vec_col,
+    )
     if centroids is None and cache_key is not None:
         centroids = _CENTROID_CACHE.get(memo_key)
     if centroids is None:
@@ -336,12 +349,16 @@ def ivf_topk(
 
     Pass ``centroids`` (e.g. the return value of :func:`ivf_write`) to reuse
     a trained quantizer, or ``cache_key`` to memoize training per corpus —
-    the index is metadata you build once, not per query."""
+    the index is metadata you build once, not per query. The memo trusts
+    the key: if the data under a key is REGENERATED, use a new key (or
+    pass centroids explicitly) — like any index, stale metadata over new
+    data degrades recall silently."""
     assigned, centroids = ivf_assign(
         corpus,
         num_centroids=num_centroids,
         iterations=iterations,
         seed=seed,
+        id_col=id_col,
         vec_col=vec_col,
         centroids=centroids,
         cache_key=cache_key,

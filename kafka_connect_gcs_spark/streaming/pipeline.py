@@ -383,8 +383,10 @@ class CdcPipeline:
     # -- the loop -----------------------------------------------------------------
 
     def run_available(self, max_batches: int | None = None) -> list[dict]:
-        """Process all currently-available feed segments, checkpointing after
-        each micro-batch. Safe to kill at any point and re-run."""
+        """Process currently-available feed segments (up to one listing
+        page, ``cfg.listing_page_size``; default 100 covers a whole poll's
+        worth), checkpointing after each micro-batch. Safe to kill at any
+        point and re-run; ``run_forever`` drains page after page."""
         out = []
         state = self.ckpt.load()
         segs = _list_segments(self.cfg.feed_path)
@@ -401,23 +403,23 @@ class CdcPipeline:
             while i < len(segs) and segs[i] < self.cfg.start_marker:
                 i += 1
         batches = 0
-        # gcs.page.size: one listing pass exposes at most a page of
-        # segments past the checkpoint (GCSSourceTask.java:164); draining
-        # a page triggers a RE-LIST for the next page — paging bounds the
-        # listing, independent of max_files_per_batch (the records-per-poll
-        # analog, which bounds each batch WITHIN a page)
+        # gcs.page.size: one call consumes at most one listing page of
+        # segments past the checkpoint (GCSSourceTask.java:164); the poll
+        # loop's NEXT call lists the next page. Bounding the page to the
+        # entry snapshot (never re-listing mid-call) keeps two guarantees
+        # paging must not break: the call terminates even when a producer
+        # appends faster than we drain, and indices into `segs` stay valid
+        # for the whole call. Independent of max_files_per_batch (the
+        # records-per-poll analog, which bounds each batch WITHIN a page).
         page = self.cfg.listing_page_size
-        page_end = i + page if page is not None else len(segs)
-        while i < min(len(segs), page_end):
+        page_end = min(len(segs), i + page) if page is not None else len(segs)
+        while i < page_end:
             if max_batches is not None and batches >= max_batches:
                 break
             batch = segs[i : i + min(self.cfg.max_files_per_batch, page_end - i)]
             lineage = self.run_batch(batch)
             i += len(batch)
             batches += 1
-            if i >= page_end and page is not None:
-                segs = _list_segments(self.cfg.feed_path)
-                page_end = i + page
             if lineage is not None:
                 out.append(lineage)
                 for p, pm in lineage.get("partitions", {}).items():

@@ -126,8 +126,17 @@ def test_ann_topk_exchange_is_bounded(spark, sf_dir):
     qs = e.queries()
     for name in ("ann_topk_quantized", "ann_topk_float"):
         plan = explain_str(qs[name](spark, sf_dir), mode="simple")
-        i = plan.find("Exchange hashpartitioning(query_id")
-        assert i >= 0, plan
-        assert "MapInPandas" in plan[i:], (
-            f"{name}: window exchange consumes the full scored relation"
+        lines = plan.splitlines()
+        hits = [
+            j for j, ln in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in ln
+        ]
+        assert len(hits) == 1, f"{name}: {len(hits)} query_id exchanges"
+        # the exchange's child subtree must be the local top-k, not the
+        # scored relation: MapInPandas sits within the next few tree lines
+        # (WindowGroupLimit(Partial) and Sort may interpose)
+        below = "\n".join(lines[hits[0] + 1 : hits[0] + 5])
+        assert "MapInPandas" in below, (
+            f"{name}: window exchange consumes the full scored relation:\n"
+            + below
         )

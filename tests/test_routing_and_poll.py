@@ -281,10 +281,11 @@ def test_page_size_tasks_properties_map_distinctly():
         assert k not in cfg.properties
 
 
-def test_listing_page_bounds_segments_per_pass(spark, tmp_path):
-    """With a 2-segment listing page and max_files_per_batch=1, every
-    batch stays within a page, pages are re-listed after draining, and the
-    full feed is still consumed exactly once."""
+def test_listing_page_bounds_segments_per_call(spark, tmp_path):
+    """With a 2-segment listing page and max_files_per_batch=1, one
+    run_available call consumes at most one page (so a producer appending
+    faster than we drain can never wedge a call), successive polls drain
+    the remaining pages, and the full feed is consumed exactly once."""
     from kafka_connect_gcs_spark.config import EngineConfig
     from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
     from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
@@ -301,7 +302,24 @@ def test_listing_page_bounds_segments_per_pass(spark, tmp_path):
     )
     pipe = CdcPipeline(spark, cfg)
     total = spark.read.parquet(feed).count()  # includes injected duplicates
-    lineages = pipe.run_available()
-    assert len(lineages) == 5  # 1 segment per batch, all 5 consumed
+    per_call = [len(pipe.run_available()) for _ in range(4)]
+    assert per_call == [2, 2, 1, 0]  # one 2-segment page per poll, then dry
+    lineages = []
+    pipe2 = CdcPipeline(spark, cfg)  # same checkpoint: nothing to replay
+    assert pipe2.run_available() == []
+    # a fresh pipeline over the same feed with paging drains everything
+    cfg_fresh = EngineConfig(
+        table_path=str(tmp_path / "table2"),
+        feed_path=feed,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        max_files_per_batch=1,
+        listing_page_size=2,
+        shuffle_partitions=4,
+    )
+    p3 = CdcPipeline(spark, cfg_fresh)
+    while True:
+        got = p3.run_available()
+        if not got:
+            break
+        lineages.extend(got)
     assert sum(ln["events_in"] for ln in lineages) == total
-    assert pipe.run_available() == []  # nothing left, no replay
