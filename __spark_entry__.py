@@ -687,6 +687,31 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (GPT-style concat-and-chunk) over portable
+    md5-derived tokens: docs in doc_id order are tokenized (lower +
+    whitespace split, 7-hex-char md5 % 32000 — bit-identical in DuckDB),
+    concatenated, and emitted as exact 128-token sequences. Exercises the
+    distributed exclusive prefix sum (operators/packing.py) end-to-end;
+    the oracle replays the identical arithmetic with window cumsum +
+    list slicing."""
+    from kafka_connect_gcs_spark.operators.packing import pack_sequences
+    from kafka_connect_gcs_spark.operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            words(F.col("text")),
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
+                F.lit(32000),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+    return pack_sequences(toks, 128).select("seq_id", "tokens", "n_tok", "n_docs")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -734,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_float": q_ann_topk_float,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1206,5 +1232,39 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
                       / (sqrt(list_dot_product(a.q::DOUBLE[], a.q::DOUBLE[]))
                          * sqrt(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]))), 6) >= 0.8
+        """,
+        "pack_sequences": f"""
+          WITH toks AS (
+            SELECT doc_id,
+                   list_transform({_words_sql()},
+                     w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT % 32000
+                               AS INTEGER)) AS tokens
+            FROM documents
+          ),
+          base AS (
+            SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n
+            FROM toks WHERE len(tokens) > 0
+          ),
+          off AS (
+            SELECT doc_id, tokens, n,
+                   CAST(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                        AS BIGINT) AS s
+            FROM base
+          ),
+          pieces AS (
+            SELECT u.c AS seq_id, o.s,
+                   o.tokens[(GREATEST(u.c*128, o.s) - o.s + 1)
+                            :(LEAST((u.c+1)*128, o.s + o.n) - o.s)] AS piece
+            FROM off o,
+                 UNNEST(generate_series(o.s // 128, (o.s + o.n - 1) // 128)) AS u(c)
+          ),
+          packed AS (
+            SELECT seq_id, flatten(list(piece ORDER BY s)) AS tokens,
+                   count(*) AS n_docs
+            FROM pieces GROUP BY seq_id
+          )
+          SELECT seq_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tok, n_docs
+          FROM packed WHERE len(tokens) = 128
         """,
     }

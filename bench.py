@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "dedup_exact_docs",
     "ann_topk_quantized",
+    "pack_sequences",
 ]
 
 

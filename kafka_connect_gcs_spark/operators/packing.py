@@ -1,0 +1,159 @@
+"""Training-sequence packing: concatenate pre-tokenized documents into
+fixed-length sequences (the canonical pre-training data op on a table of
+``(doc_id, tokens array<int>, n_tok, source)`` — GPT-style concat-and-chunk).
+
+The hard part at 10^10 docs is the GLOBAL token offset of every document
+(an order-by-all prefix sum; a bare ``Window.orderBy(doc_id)`` moves the
+whole relation to ONE partition). :func:`exclusive_prefix_sum` does it
+scale-correct in two phases, the classic distributed scan:
+
+1. range-partition the NARROW (order key, count) relation and take ONE
+   metadata-scale collect of per-partition totals (P rows, P = shuffle
+   parallelism);
+2. per-partition window cumsum + the driver-computed partition base —
+   every heavy step stays partition-parallel, balanced by the range
+   partitioner.
+
+Packing itself is pure relational algebra after that: each doc overlaps
+chunks ``floor(s/L) .. floor((s+n-1)/L)`` (explodes to ≤ n/L+1 rows),
+contributes ``slice(tokens, ...)`` per chunk, and chunks reassemble with a
+groupBy whose group payload is bounded by L tokens — no unbounded
+collect anywhere. Shuffle volume ≈ token volume, which is the floor for an
+op that permutes every token.
+
+No reference analog (the connector stores byte records); this is part of
+the training-data-pipeline surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    n_col: str,
+    out_col: str = "start",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """(…, out_col) where out_col = sum of ``n_col`` over all rows strictly
+    before this one in ``order_col`` order — a distributed exclusive scan.
+
+    Keep ``df`` NARROW (the order key and the count): the relation is
+    range-shuffled once and window-scanned once. The only driver-side data
+    is one row per partition (its total), so this works at any row count
+    the cluster can shuffle. The input is persisted for the two passes so
+    ``spark_partition_id`` is stable between them; callers should join the
+    result back to wide data by the order key.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(P, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # ONE metadata-scale collect: per-partition totals (P rows)
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid").agg(F.sum(n_col).alias("t")).collect()
+    }
+    bases, acc = {}, 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += totals[pid] or 0
+    base_map = F.create_map(
+        *[F.lit(x) for pid in sorted(bases) for x in (pid, bases[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = part.withColumn(
+        out_col,
+        (
+            F.coalesce(base_map[F.col("_pid")], F.lit(0))
+            + F.sum(n_col).over(w)
+            - F.col(n_col)
+        ).cast("long"),
+    )
+    return out.drop("_pid")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    drop_remainder: bool = True,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Concatenate ``tokens`` of all docs in ``id_col`` order and emit
+    consecutive ``seq_len``-token sequences:
+
+    Returns (seq_id, tokens array, n_tok, n_docs) where ``seq_id`` is the
+    0-based chunk index in the concatenated stream and ``n_docs`` counts
+    the documents contributing at least one token to the chunk. The final
+    partial chunk is dropped unless ``drop_remainder=False`` (train loaders
+    want fixed shapes; keep it for lossless repacking).
+
+    Deterministic: the stream order is the total order on ``id_col``.
+    """
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    base = base.where(F.col("_n") > 0)
+    # global offsets on the NARROW projection; tokens re-attach by id after
+    starts = exclusive_prefix_sum(
+        base.select("_id", "_n"), "_id", "_n", out_col="_s",
+        num_partitions=num_partitions,
+    )
+    placed = base.join(starts.select("_id", "_s"), "_id")
+    # every chunk this doc overlaps: floor(s/L) .. floor((s+n-1)/L)
+    c = F.explode(
+        F.sequence(
+            F.floor(F.col("_s") / L),
+            F.floor((F.col("_s") + F.col("_n") - 1) / L),
+        )
+    ).alias("seq_id")
+    pieces = placed.select("_id", "_s", "_n", "_toks", c).select(
+        "seq_id",
+        "_s",
+        # token coords [max(cL, s), min((c+1)L, s+n)) → 1-based local slice
+        F.slice(
+            "_toks",
+            (F.greatest(F.col("seq_id") * L, F.col("_s")) - F.col("_s") + 1).cast(
+                "int"
+            ),
+            (
+                F.least((F.col("seq_id") + 1) * L, F.col("_s") + F.col("_n"))
+                - F.greatest(F.col("seq_id") * L, F.col("_s"))
+            ).cast("int"),
+        ).alias("_piece"),
+    )
+    # reassemble: group payload ≤ L tokens by construction (each member
+    # contributes ≥1 token to this chunk), so collect_list is bounded
+    out = (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_s").alias("s"),
+                                                F.col("_piece").alias("p")))
+                    ),
+                    lambda x: x["p"],
+                )
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+    )
+    if drop_remainder:
+        out = out.where(F.col("n_tok") == L)
+    return out.select("seq_id", "tokens", "n_tok", "n_docs")
