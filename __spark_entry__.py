@@ -26,6 +26,7 @@ query returns verifiable rows; its oracle is the exact all-pairs join.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -687,6 +688,43 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-vs-lake dedup against a STORED minhash index: docs < 300 are
+    the indexed corpus; the incoming batch is docs ≥ 300 plus planted
+    near-clones of docs < 20 (text + ' zzclone', ids offset 100000) so
+    qualifying matches exist by construction. Matching is the portable
+    md5 signature agreement (unbiased Jaccard estimate), best match per
+    new doc. The oracle replays signatures, banded buckets, the
+    cross-side candidate join, and the argmax — proving the whole
+    index-probe pipeline, not just the verify step."""
+    import hashlib
+    import tempfile
+
+    from kafka_connect_gcs_spark.operators.dedup_index import (
+        dedup_against_index,
+        minhash_index_write,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 300).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzclone")).alias("text"),
+    )
+    batch = (
+        d.where(F.col("doc_id") >= 300).select("doc_id", "text")
+        .unionByName(clones)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sgmi-" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    minhash_index_write(
+        corpus, path, num_hashes=16, bands=8, shingle_n=3, portable=True
+    )
+    return dedup_against_index(batch, path, threshold=0.5)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (GPT-style concat-and-chunk) over portable
     md5-derived tokens: docs in doc_id order are tokenized (lower +
@@ -760,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -806,6 +845,67 @@ def _minhash_lsh_sql(num_hashes=16, bands=8, threshold=0.5, max_doc_id=1000) -> 
       SELECT id_a, id_b, {jac} AS jaccard
       FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
       WHERE {jac} >= {threshold}
+    """
+
+
+def _dedup_incremental_sql(num_hashes=16, bands=8, threshold=0.5) -> str:
+    """DuckDB replay of the ENTIRE index-probe pipeline of
+    q_dedup_incremental: portable signatures for corpus (< 300) and batch
+    (≥ 300 plus planted ' zzclone' copies of < 20), banded buckets, the
+    cross-side candidate join, lane-agreement estimate, threshold, and the
+    per-new-doc argmax (est desc, dup_of asc)."""
+    rpb = num_hashes // bands
+    sh_sql = (
+        "list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+    )
+    minhash = ", ".join(
+        "list_aggregate(list_transform(sh, "
+        f"w -> ('0x' || substr(md5('s{i}:' || w), 1, 15))::BIGINT), 'min')"
+        for i in range(num_hashes)
+    )
+    buckets = ", ".join(
+        "(" + " || ':' || ".join(
+            f"sig[{b * rpb + r + 1}]::VARCHAR" for r in range(rpb)
+        ) + ")"
+        for b in range(bands)
+    )
+    return f"""
+      WITH allr AS (
+        SELECT doc_id, text, 'old' AS side FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id, text, 'new' FROM documents WHERE doc_id >= 300
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zzclone', 'new'
+        FROM documents WHERE doc_id < 20
+      ),
+      w AS (SELECT doc_id, side, {_words_sql()} AS ws FROM allr),
+      s AS (SELECT doc_id, side, {sh_sql} AS sh FROM w),
+      g AS (SELECT doc_id, side, [{minhash}] AS sig FROM s),
+      banded AS (
+        SELECT doc_id, side, t.b AS band, ([{buckets}])[t.b+1] AS bucket
+        FROM g, (SELECT unnest(range({bands})) AS b) t
+      ),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM banded n JOIN banded o
+          ON n.band = o.band AND n.bucket = o.bucket
+        WHERE n.side = 'new' AND o.side = 'old' AND n.doc_id <> o.doc_id
+      ),
+      est AS (
+        SELECT c.new_id, c.old_id,
+               round(len(list_filter(range(1, {num_hashes + 1}),
+                                     i -> gn.sig[i] = go.sig[i]))::DOUBLE
+                     / {num_hashes}.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN g gn ON gn.doc_id = c.new_id AND gn.side = 'new'
+        JOIN g go ON go.doc_id = c.old_id AND go.side = 'old'
+      )
+      SELECT new_id AS doc_id, old_id AS dup_of, est_jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                      ORDER BY est_jaccard DESC, old_id ASC) AS rn
+            FROM est WHERE est_jaccard >= {threshold})
+      WHERE rn = 1
     """
 
 
@@ -1267,4 +1367,5 @@ def oracle_sql() -> dict[str, str]:
           SELECT seq_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tok, n_docs
           FROM packed WHERE len(tokens) = 128
         """,
+        "dedup_incremental": _dedup_incremental_sql(),
     }
