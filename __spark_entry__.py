@@ -747,7 +747,12 @@ def q_pack_sequences(spark, sf_dir):
             ).cast("int"),
         ).alias("tokens"),
     )
-    return pack_sequences(toks, 128).select("seq_id", "tokens", "n_tok", "n_docs")
+    return pack_sequences(toks, 128).select(
+        "seq_id",
+        F.concat_ws(",", "tokens").alias("tokens"),
+        "n_tok",
+        "n_docs",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1364,7 +1369,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM pieces GROUP BY seq_id
           )
-          SELECT seq_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tok, n_docs
+          SELECT seq_id, array_to_string(tokens, ',') AS tokens,
+                 CAST(len(tokens) AS BIGINT) AS n_tok, n_docs
           FROM packed WHERE len(tokens) = 128
         """,
         "dedup_incremental": _dedup_incremental_sql(),

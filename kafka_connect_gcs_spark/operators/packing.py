@@ -41,12 +41,21 @@ def exclusive_prefix_sum(
     """(…, out_col) where out_col = sum of ``n_col`` over all rows strictly
     before this one in ``order_col`` order — a distributed exclusive scan.
 
+    ``order_col`` MUST be unique (it defines the total order of the scan;
+    with duplicates "strictly before" is ill-defined, and the cumsum window
+    would treat ties as peers). The window below uses an explicit ROWS
+    frame so each row still gets a distinct running total, but which
+    duplicate gets which offset would be nondeterministic — so uniqueness
+    is the caller contract (packing uses doc_id, a primary key).
+
     Keep ``df`` NARROW (the order key and the count): the relation is
     range-shuffled once and window-scanned once. The only driver-side data
     is one row per partition (its total), so this works at any row count
     the cluster can shuffle. The input is persisted for the two passes so
-    ``spark_partition_id`` is stable between them; callers should join the
-    result back to wide data by the order key.
+    ``spark_partition_id`` is stable between them (range boundaries come
+    from sampling and could differ on re-execution); the result is eagerly
+    localCheckpoint-ed and the temporary cache released before returning,
+    so repeated calls don't accumulate cached relations.
     """
     from pyspark import StorageLevel
 
@@ -70,7 +79,14 @@ def exclusive_prefix_sum(
     base_map = F.create_map(
         *[F.lit(x) for pid in sorted(bases) for x in (pid, bases[pid])]
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # explicit ROWS frame: the default RANGE frame makes duplicate order
+    # values peers (all sharing one inclusive cumsum); ROWS keeps every row's
+    # running total distinct even if the uniqueness contract is violated
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = part.withColumn(
         out_col,
         (
@@ -78,8 +94,12 @@ def exclusive_prefix_sum(
             + F.sum(n_col).over(w)
             - F.col(n_col)
         ).cast("long"),
-    )
-    return out.drop("_pid")
+    ).drop("_pid")
+    # materialize (narrow relation, one pass over the cache) so the persisted
+    # input can be released now instead of leaking until LRU pressure
+    out = out.localCheckpoint(eager=True)
+    part.unpersist()
+    return out
 
 
 def pack_sequences(
