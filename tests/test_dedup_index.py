@@ -79,3 +79,90 @@ def test_best_match_ties_break_to_smallest_id(spark, tmp_path):
     )
     got = dedup_against_index(_df(spark, [(300, dup_text)]), path).collect()
     assert len(got) == 1 and got[0].dup_of == 10 and got[0].est_jaccard == 1.0
+
+
+def test_string_id_ties_break_to_smallest_id(spark, tmp_path):
+    # the tie-break must not assume numeric ids (no unary negation of the
+    # id column — that would cast a string to double and yield NULL)
+    path = str(tmp_path / "idx")
+    dup_text = "identical duplicated content stored twice in the corpus today"
+    corpus = spark.createDataFrame(
+        [("doc-b", dup_text), ("doc-a", dup_text)], "doc_id string, text string"
+    )
+    minhash_index_write(corpus, path, num_hashes=16, bands=8, shingle_n=1)
+    batch = spark.createDataFrame(
+        [("doc-z", dup_text)], "doc_id string, text string"
+    )
+    got = dedup_against_index(batch, path).collect()
+    assert len(got) == 1
+    assert got[0].dup_of == "doc-a" and got[0].est_jaccard == 1.0
+
+
+def test_probe_prunes_bucket_partitions_and_gates_broadcast(spark, tmp_path):
+    from kafka_connect_gcs_spark.plans.inspect import explain_str
+
+    path = str(tmp_path / "idx")
+    minhash_index_write(
+        _df(spark, CORPUS), path, num_hashes=16, bands=8, shingle_n=1,
+        bucket_parts=16,
+    )
+    assert read_index_params(path)["bucket_parts"] == 16
+    batch = _df(spark, [
+        # near-clone of doc 0 → non-empty candidate set, so the gated path
+        # has a real relation to (not) broadcast
+        (100, "the quick brown fox jumps over the lazy cat near the river bank"),
+    ])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # above the gate: no broadcast hint anywhere — with auto-broadcast
+        # disabled the joins must all be shuffle joins (run first, and clear
+        # caches between probes: the cache manager matches relations across
+        # calls hint-insensitively, so a prior call's compiled plan would
+        # leak into this explain)
+        spark.catalog.clearCache()
+        lazy0 = dedup_against_index(
+            batch, path, max_broadcast_rows=0, eager=False
+        )
+        assert "BroadcastHashJoin" not in explain_str(lazy0)
+        # small batch: hinted broadcast joins + static bucket_part pruning
+        spark.catalog.clearCache()
+        lazy = dedup_against_index(batch, path, eager=False)
+        txt = explain_str(lazy)
+        assert "BroadcastHashJoin" in txt
+        assert "PartitionFilters" in txt and "bucket_part" in txt.split(
+            "PartitionFilters", 1
+        )[1][:400]
+        spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # both paths produce the identical (correct) result
+    small = {(r.doc_id, r.dup_of) for r in dedup_against_index(batch, path).collect()}
+    big = {
+        (r.doc_id, r.dup_of)
+        for r in dedup_against_index(batch, path, max_broadcast_rows=0).collect()
+    }
+    assert small == big == {(100, 0)}
+
+
+def test_legacy_index_without_bucket_parts_still_probes(spark, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "idx")
+    minhash_index_write(
+        _df(spark, CORPUS), path, num_hashes=16, bands=8, shingle_n=1,
+        bucket_parts=0,
+    )
+    # layout written with bucket_parts=0 has no bucket_part column at all
+    assert "bucket_parts" in read_index_params(path)
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    del p["bucket_parts"]  # simulate an index written before the field existed
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump(p, f)
+    batch = _df(spark, [
+        (101, "distributed systems tolerate partial failures through replication"),
+    ])
+    got = dedup_against_index(batch, path, threshold=0.5).collect()
+    assert len(got) == 1 and got[0].dup_of == 2 and got[0].est_jaccard == 1.0
