@@ -92,16 +92,51 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: "DataFrame | None" = None,
+    max_all_pairs_docs: int = 100_000,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold. O(n²) — the brute-force oracle
-    path for small candidate sets; production near-dup goes through
-    :func:`minhash_lsh_pairs` which only scores LSH candidates."""
+    """Exact n-gram Jaccard ≥ threshold over document pairs.
+
+    With ``candidates`` (a DataFrame with columns ``id_a``/``id_b``, e.g.
+    the output of :func:`minhash_lsh_pairs` run at a lower threshold, or
+    any blocking scheme's pair list): scores ONLY those pairs — the exact
+    scorer composes into the scalable LSH pipeline, so the corpus joins
+    the (small) candidate relation instead of itself.
+
+    Without ``candidates``: ALL pairs, an O(n²) self-join — the
+    brute-force oracle path for small sets. Guarded: corpora above
+    ``max_all_pairs_docs`` raise instead of silently launching a
+    quadratic job (10^10-doc corpora go through candidate generation;
+    the guard checks ``limit(bound+1).count()`` so it never scans more
+    than the bound)."""
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if candidates is None:
+        if df.limit(max_all_pairs_docs + 1).count() > max_all_pairs_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs without candidates is an all-pairs "
+                f"cartesian, refused above {max_all_pairs_docs} docs — pass "
+                "candidates= (e.g. minhash_lsh_pairs output) or raise "
+                "max_all_pairs_docs explicitly"
+            )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+        )
     return (
         pairs.select(
             "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
@@ -140,9 +175,11 @@ def connected_components(
 
     Each round is two self-joins + a groupBy-min over (edge, label) rows —
     all partial-aggregating shuffles, no driver-side graph, so it scales
-    to edge sets that don't fit one machine. The fixpoint check is a cheap
-    count of changed labels (AQE coalesces the tiny intermediate
-    shuffles).
+    to edge sets that don't fit one machine. The fixpoint check rides the
+    round's own materialization: the old label is carried through the
+    round and a changed-label count is attached as an ``Observation`` on
+    the eager checkpoint job, so each round runs exactly ONE Spark job
+    (no separate convergence-count job).
 
     This is the step that turns near-dup PAIRS (minhash/simhash/embedding)
     into a dedup DECISION: keep ``component`` (the min id), drop the rest.
@@ -163,17 +200,23 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
-        # candidate labels: own label ∪ neighbors' labels, take the min
-        neighbor_labels = (
+        # candidate labels: min over own label ∪ neighbors' labels, with
+        # the OLD label carried alongside so convergence is decided from
+        # this round's own output (no extra join-back job)
+        nmin = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "component")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("_nmin"))
         )
-        hopped = (
-            labels.select("node", "component")
-            .unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        hopped = labels.join(nmin, "node", "left").select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+            ).alias("component"),
         )
         # pointer jump: component ← label(component). Left join + coalesce
         # guards the (impossible by invariant) case of a label naming a
@@ -186,20 +229,26 @@ def connected_components(
         # and plan construction itself OOMs after ~8 rounds. Checkpointing
         # each round's labels keeps the plan O(1) per round; label rows are
         # one (node, component) pair per node — metadata-scale storage.
+        # The Observation rides the (eager) checkpoint job, so the changed
+        # count costs no extra job.
+        obs = Observation()
         new_labels = (
             hopped.join(parents, "component", "left")
             .select(
                 "node",
+                F.col("_old"),
                 F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("_old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels
         if changed == 0:

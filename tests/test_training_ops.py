@@ -346,16 +346,70 @@ def test_ivf_centroid_cache_hits_and_matches(spark, emb):
     assert cached == fresh == retrained
 
 
+def test_ngram_jaccard_composes_with_lsh_candidates(spark):
+    """The exact scorer scoped to LSH candidates equals the all-pairs
+    result restricted to the candidate set — the scalable composition
+    (candidates from banding, exact Jaccard only on those pairs)."""
+    from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river"),
+        (1, "the quick brown fox jumps over the lazy cat near the river"),
+        (2, "machine learning systems need large curated training corpora"),
+        (3, "machine learning systems need large curated training data corpora"),
+        (4, "an entirely unrelated sentence about volcanic rock formations"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # candidates at a permissive threshold, no prefilter (exact candidate set)
+    cand = minhash_lsh_pairs(
+        df, num_hashes=16, bands=8, threshold=0.0, prefilter_slack=None
+    ).select("id_a", "id_b")
+    composed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.6, candidates=cand).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.6).collect()
+    }
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert composed == {p: j for p, j in brute.items() if p in cand_set}
+    assert (0, 1) in composed and (2, 3) in composed
+
+
+def test_ngram_jaccard_all_pairs_guard(spark):
+    import pytest
+
+    df = spark.range(11).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("w"), F.col("id")).alias("text")
+    )
+    with pytest.raises(ValueError, match="all-pairs cartesian"):
+        ngram_jaccard_pairs(df, max_all_pairs_docs=10)
+    # explicit raise of the bound restores the brute-force path
+    assert ngram_jaccard_pairs(df, max_all_pairs_docs=11).count() == 0
+
+
 def test_connected_components_log_rounds_on_chain(spark):
     """Pointer jumping makes convergence O(log diameter): a 50-node chain
     (diameter 49) must converge within 8 rounds — the pre-jump algorithm
-    moved the min label one hop per round and raised at 20."""
+    moved the min label one hop per round and raised at 20. The changed
+    count rides each round's checkpoint job as an Observation, so the
+    whole fixpoint loop runs ONE job per round (asserted via job group)."""
     from kafka_connect_gcs_spark.operators.dedup_text import connected_components
 
     edges = [(i, i + 1) for i in range(49)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    cc = {
-        r.node: r.component
-        for r in connected_components(pairs, max_iterations=8).collect()
-    }
+    # count SQL executions (actions), not jobs — AQE and broadcast
+    # exchanges split one action into several jobs, but each round must
+    # issue exactly ONE action (the old separate convergence count was a
+    # second action per round)
+    store = spark._jsparkSession.sharedState().statusStore()
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    bus.waitUntilEmpty()
+    e0 = store.executionsCount()
+    result = connected_components(pairs, max_iterations=8)
+    bus.waitUntilEmpty()
+    executions = store.executionsCount() - e0
+    cc = {r.node: r.component for r in result.collect()}
     assert cc == {i: 0 for i in range(50)}
+    assert 0 < executions <= 8, f"expected ≤8 one-action rounds, saw {executions}"
