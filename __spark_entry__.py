@@ -398,12 +398,15 @@ def q_multimodal_features(spark, sf_dir):
     decode, multimodal.py docstring). Features re-quantized to their exact
     uint16 values so DuckDB can rebuild them from the hex digest."""
     from kafka_connect_gcs_spark.operators.multimodal import (
+        FakeCodec,
         MediaPipeline,
         synthesize_media_portable,
     )
 
     media = synthesize_media_portable(spark, 240)
-    feats = MediaPipeline().extract_features(media)
+    # codec pinned: MediaPipeline() auto-upgrades to RealCodec where PIL
+    # exists, but THIS query's oracle replays FakeCodec's sha256 features
+    feats = MediaPipeline(codec=FakeCodec()).extract_features(media)
     q = F.transform(
         "feature",
         lambda x: F.round(x.cast("double") * 65535.0).cast("int").cast("string"),

@@ -192,9 +192,28 @@ class StatsdLineMetrics(Metrics):
     Config: ``prefix`` (optional name prefix), ``tags`` (constant global
     tags, DatadogMetrics.parseTags format), ``host``/``port`` (UDP target;
     when absent, lines buffer in ``self.lines`` so the FORMAT is testable
-    offline, mirroring DatadogMetricsTest's ``test.noreport``)."""
+    offline, mirroring DatadogMetricsTest's ``test.noreport``).
+
+    ``frequency`` (seconds) mirrors the reference's reporter cadence
+    (DatadogMetrics.java:66 — ``builder.build().start(frequency,
+    SECONDS)``, default 10 there): a daemon reporter thread aggregates
+    between flushes instead of emitting one wire line per call —
+
+    * meters SUM their counts per (name, tags) and flush as one ``c`` line;
+    * gauges are POLLED at flush time (the registered callable runs on the
+      reporter thread, Dropwizard-gauge semantics — latest value wins);
+    * histogram/timer samples buffer and flush as individual lines (the
+      dogstatsd daemon owns the distribution math), packed into
+      newline-separated datagrams ≤1432 bytes per dogstatsd convention.
+
+    Default ``frequency=0`` keeps the synchronous per-call emission (and
+    the existing golden-format behavior). ``flush()`` forces a cadence
+    flush; ``close()`` stops the thread after a final flush. Like the
+    reference ("don't worry about closing — only a daemon thread"), an
+    unclosed reporter never blocks interpreter exit."""
 
     TYPE = {"meter": "c", "hist": "h", "gauge": "g", "timer": "ms"}
+    MAX_DATAGRAM = 1432
 
     def __init__(self, config: dict | None = None):
         config = config or {}
@@ -209,6 +228,69 @@ class StatsdLineMetrics(Metrics):
             import socket
 
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.frequency = float(config.get("frequency", 0) or 0)
+        self._agg_meters: dict = {}   # _key -> [count, tags]
+        self._agg_gauges: dict = {}   # _key -> (tags, get_value)
+        self._agg_samples: list = []  # formatted hist/timer lines, in order
+        self._stop = None
+        if self.frequency > 0:
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._report_loop, daemon=True,
+                name="statsd-reporter",
+            )
+            self._thread.start()
+
+    def _report_loop(self):
+        while not self._stop.wait(self.frequency):
+            self.flush()
+
+    def flush(self) -> None:
+        """Emit everything aggregated since the last flush (meters summed,
+        gauges polled now, samples in arrival order)."""
+        with self._lock:
+            meters = sorted(self._agg_meters.items())
+            gauges = sorted(self._agg_gauges.items())
+            samples = self._agg_samples
+            self._agg_meters = {}
+            self._agg_gauges = {}
+            self._agg_samples = []
+        lines = [
+            self.format_line("meter", key[0], count, tags)
+            for key, (count, tags) in meters
+        ]
+        for key, (tags, get_value) in gauges:
+            lines.append(self.format_line("gauge", key[0], get_value(), tags))
+        lines += samples
+        self._send_lines(lines)
+
+    def close(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=5)
+        self.flush()
+
+    def _send_lines(self, lines: list) -> None:
+        if not lines:
+            return
+        with self._lock:
+            if self._sock is None:
+                self.lines.extend(lines)
+                return
+            # pack newline-separated lines into ≤MAX_DATAGRAM packets
+            packets, cur = [], ""
+            for line in lines:
+                if cur and len(cur) + 1 + len(line) > self.MAX_DATAGRAM:
+                    packets.append(cur)
+                    cur = line
+                else:
+                    cur = f"{cur}\n{line}" if cur else line
+            packets.append(cur)
+            for p in packets:
+                try:
+                    self._sock.sendto(p.encode(), (str(self.host), self.port))
+                except OSError:
+                    pass  # fire-and-forget, same as the synchronous path
 
     def format_line(self, kind: str, name: str, value, tags: dict | None) -> str:
         full = f"{self.prefix}.{name}" if self.prefix else name
@@ -237,12 +319,29 @@ class StatsdLineMetrics(Metrics):
                 self.lines.append(line)
 
     def meter(self, count, name, tags=None):
+        if self.frequency > 0:
+            with self._lock:
+                k = _key(name, tags)
+                if k in self._agg_meters:
+                    self._agg_meters[k][0] += count
+                else:
+                    self._agg_meters[k] = [count, dict(tags or {})]
+            return
         self._emit("meter", name, count, tags)
 
     def hist(self, value, name, tags=None):
+        if self.frequency > 0:
+            line = self.format_line("hist", name, value, tags)
+            with self._lock:
+                self._agg_samples.append(line)
+            return
         self._emit("hist", name, value, tags)
 
     def gauge(self, name, tags, get_value):
+        if self.frequency > 0:
+            with self._lock:
+                self._agg_gauges[_key(name, tags)] = (dict(tags or {}), get_value)
+            return
         self._emit("gauge", name, get_value(), tags)
 
 

@@ -65,6 +65,77 @@ class FakeCodec:
         )
 
 
+class RealCodec:
+    """PIL-backed codec with the same signature as :class:`FakeCodec` —
+    the production side of the seam. Only constructible when PIL imports
+    (``default_codec`` falls back to :class:`FakeCodec` otherwise, so the
+    pipeline stays green in containers without media libraries).
+
+    ``features``: decode → grayscale → 4×4 downsample → 16 floats in
+    [0, 1] (same ``feature_dim`` contract as the fake). Payloads that are
+    not decodable images (audio/video containers, junk) degrade to the
+    deterministic hash features so one mixed-kind batch never fails.
+    ``resize``: decode → LANCZOS resize → PNG bytes."""
+
+    feature_dim = 16
+
+    def __init__(self):
+        from PIL import Image  # raises ImportError where PIL is absent
+
+        self._Image = Image
+
+    def _decode(self, p):
+        import io
+
+        try:
+            img = self._Image.open(io.BytesIO(bytes(p)))
+            img.load()
+            return img
+        except Exception:
+            return None
+
+    def features(self, payloads) -> "list":
+        import numpy as np
+
+        fallback = FakeCodec()
+        out = []
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            img = self._decode(p)
+            if img is None:
+                out.append(fallback.features([p])[0])
+                continue
+            g = np.asarray(img.convert("L").resize((4, 4)), dtype=np.float32)
+            out.append((g.reshape(-1) / 255.0).tolist())
+        return out
+
+    def resize(self, payloads, w: int, h: int) -> "list":
+        import io
+
+        out = []
+        for p in payloads:
+            img = None if p is None else self._decode(p)
+            if img is None:
+                out.append(None)
+                continue
+            buf = io.BytesIO()
+            img.resize((w, h), self._Image.LANCZOS).save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
+
+
+def default_codec():
+    """RealCodec when the media libraries import, else the deterministic
+    FakeCodec — the seam auto-upgrades outside this sandbox without any
+    call-site change."""
+    try:
+        return RealCodec()
+    except ImportError:
+        return FakeCodec()
+
+
 @dataclass
 class MediaPipeline:
     codec: object = None
@@ -72,7 +143,7 @@ class MediaPipeline:
 
     def __post_init__(self):
         if self.codec is None:
-            self.codec = FakeCodec()
+            self.codec = default_codec()
 
     def extract_features(self, df: DataFrame) -> DataFrame:
         """media rows → (media_id, kind, feature array<float>). One Arrow

@@ -225,3 +225,81 @@ def test_statsd_registry_dedupes_like_reference():
     from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
 
     assert isinstance(d, StatsdLineMetrics)
+
+
+def test_statsd_frequency_aggregates_then_flushes():
+    """DatadogMetrics.java:66 starts a reporter on a `frequency` cadence;
+    with frequency set, calls aggregate and only flush() emits: meters sum
+    per (name, tags), gauges are polled AT flush time, histogram samples
+    flush individually in arrival order — all in the golden line format."""
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
+
+    m = StatsdLineMetrics({"prefix": "connect", "frequency": 3600})
+    try:
+        m.meter(2, "gcs.put", {"topic": "t"})
+        m.meter(3, "gcs.put", {"topic": "t"})
+        m.meter(1, "gcs.put", {"topic": "u"})
+        m.hist(7, "batch.size", {"topic": "t"})
+        m.hist(9, "batch.size", {"topic": "t"})
+        holder = {"v": 1}
+        m.gauge("lag", {"topic": "t"}, lambda: holder["v"])
+        holder["v"] = 42  # gauge must report the value at FLUSH, not at call
+        assert m.lines == []  # nothing emitted before the cadence fires
+        m.flush()
+    finally:
+        m.close()
+    assert m.lines == [
+        "connect.gcs.put:5|c|#topic:t",
+        "connect.gcs.put:1|c|#topic:u",
+        "connect.lag:42|g|#topic:t",
+        "connect.batch.size:7|h|#topic:t",
+        "connect.batch.size:9|h|#topic:t",
+    ]
+    # flush drained the aggregation: a second flush emits nothing new
+    m.flush()
+    assert len(m.lines) == 5
+
+
+def test_statsd_reporter_thread_flushes_on_cadence():
+    import time
+
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
+
+    m = StatsdLineMetrics({"frequency": 0.05})
+    try:
+        m.meter(1, "ticks")
+        deadline = time.monotonic() + 5
+        while not m.lines and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert m.lines == ["ticks:1|c"]
+    finally:
+        m.close()
+
+
+def test_statsd_flush_packs_datagrams():
+    """Flushed lines are newline-packed into ≤1432-byte datagrams (the
+    dogstatsd batching convention) instead of one UDP send per line."""
+    from kafka_connect_gcs_spark.metrics import StatsdLineMetrics
+
+    m = StatsdLineMetrics({"host": "127.0.0.1", "port": 8125,
+                           "frequency": 3600})
+    sent = []
+
+    class FakeSock:
+        def sendto(self, data, addr):
+            sent.append(data)
+
+    m._sock = FakeSock()
+    try:
+        for i in range(200):
+            m.hist(i, f"metric.with.a.reasonably.long.name.{i:04d}")
+        m.flush()
+    finally:
+        m._sock = None  # close() flush must not touch the fake
+        m.close()
+    assert len(sent) > 1  # batched, but more than one packet for 200 lines
+    for p in sent:
+        assert len(p) <= 1432
+    all_lines = b"\n".join(sent).decode().split("\n")
+    assert len(all_lines) == 200
+    assert all_lines[0] == "metric.with.a.reasonably.long.name.0000:0|h"

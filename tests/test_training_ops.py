@@ -296,6 +296,50 @@ def test_multimodal_plumbing(spark):
         FakeCodec().resize([b"x"], 8, 8)
 
 
+def test_default_codec_auto_detects_media_libs():
+    """The codec seam upgrades itself: RealCodec where PIL imports,
+    FakeCodec otherwise — no call-site change either way."""
+    from kafka_connect_gcs_spark.operators.multimodal import (
+        FakeCodec,
+        RealCodec,
+        default_codec,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    codec = default_codec()
+    assert isinstance(codec, RealCodec if have_pil else FakeCodec)
+    assert codec.feature_dim == FakeCodec.feature_dim
+
+
+def test_real_codec_decodes_and_resizes():
+    """Runs only where PIL exists (skipped in this sandbox): RealCodec
+    must decode a PNG to 16 grayscale features and resize to PNG bytes,
+    and degrade to hash features on undecodable payloads."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from kafka_connect_gcs_spark.operators.multimodal import FakeCodec, RealCodec
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 10), (200, 30, 60)).save(buf, format="PNG")
+    png = buf.getvalue()
+    codec = RealCodec()
+    feats = codec.features([png, b"not an image", None])
+    assert len(feats[0]) == 16 and all(0.0 <= v <= 1.0 for v in feats[0])
+    assert feats[1] == FakeCodec().features([b"not an image"])[0]
+    assert feats[2] is None
+    out = codec.resize([png, b"junk"], 4, 4)
+    assert Image.open(io.BytesIO(out[0])).size == (4, 4)
+    assert out[1] is None
+
+
 def test_topk_two_phase_matches_single_window(spark):
     """topk_per_query (local per-partition head + bounded final window)
     must be row-identical to the naive single-window plan it replaced —
