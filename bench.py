@@ -13,7 +13,10 @@ Env knobs:
   SPARK_GRAFT_SF_DIR       testdata dir    (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS         local[N]        (default 32)
   SPARK_GRAFT_BENCH_EVENTS binlog events   (default 1_000_000)
-  SPARK_GRAFT_BENCH_MODE   all|cdc|queries (default all)
+  SPARK_GRAFT_BENCH_MODE   all|cdc|queries|ops (default all; ops = the
+                           replicated-corpus scaling segment for
+                           pack_sequences / incremental index dedup)
+  SPARK_GRAFT_OPS_REPLICAS corpus replication for ops mode (default 200)
 """
 
 from __future__ import annotations
@@ -234,6 +237,67 @@ def bench_production_ops(spark) -> dict:
     return out
 
 
+def _replicated_corpus(spark, replicas: int, start: int = 0):
+    """documents.parquet replicated deterministically with replica-suffixed
+    ids — the no-external-data way to size the training ops up to a scale
+    where parallelism matters (5k docs × R; text content unchanged so
+    near-dup structure is preserved across replicas)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    reps = spark.range(start, start + replicas).select(
+        F.col("id").alias("_rep")
+    )
+    return docs.crossJoin(reps).select(
+        F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
+    )
+
+
+def bench_ops(spark, work_dir: str) -> dict:
+    """Scaling segment for the newest training ops (pack_sequences +
+    incremental index dedup), run by bench_scaling.py at two parallelism
+    levels for the north-rule efficiency evidence. Three timed phases:
+
+    * pack_sequences over ~R×5k docs tokenized JVM-side (global
+      exclusive-prefix-sum + chunk reassembly);
+    * minhash index BUILD over the same corpus (the amortized
+      corpus-scale cost);
+    * a PROBE of a 10%-sized new batch against the stored index (the
+      per-micro-batch cost ∝ batch)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_gcs_spark.operators.dedup_index import (
+        dedup_against_index,
+        minhash_index_write,
+    )
+    from kafka_connect_gcs_spark.operators.packing import pack_sequences
+
+    R = int(os.environ.get("SPARK_GRAFT_OPS_REPLICAS", "200"))
+    corpus = _replicated_corpus(spark, R)
+    toks = corpus.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, '\\\\s+'), "
+            "w -> cast(pmod(xxhash64(w), 50000) as int))"
+        ).alias("tokens"),
+    )
+    out = {}
+    t0 = time.time()
+    pack_sequences(toks, 2048).count()
+    out["pack_sequences"] = round(time.time() - t0, 3)
+    idx = os.path.join(work_dir, "minhash-index")
+    t0 = time.time()
+    minhash_index_write(corpus, idx, num_hashes=16, bands=4, shingle_n=3)
+    out["dedup_index_build"] = round(time.time() - t0, 3)
+    batch = _replicated_corpus(spark, max(R // 10, 1), start=R)
+    t0 = time.time()
+    dedup_against_index(batch, idx, threshold=0.5).count()
+    out["dedup_incremental_probe"] = round(time.time() - t0, 3)
+    return out
+
+
 #: a measurement pass whose window saw more hypervisor steal than this is
 #: repeated (minima merged) — identical runs swing 2-13× during steal
 #: episodes on this shared host, and best-of-N inside ONE noisy window
@@ -280,6 +344,30 @@ def main() -> None:
         "queries": {},
     }
     try:
+        if MODE == "ops":
+            # best-of-REPEATS with per-pass steal annotation, like the rest
+            best: dict = {}
+            steals = []
+            for attempt in range(1 + MAX_NOISE_RETRIES):
+                t_b, s_b = read_cpu_stat()
+                for r in range(REPEATS):
+                    wd = os.path.join(work_dir, f"ops-{attempt}-{r}")
+                    os.makedirs(wd, exist_ok=True)
+                    for k, v in bench_ops(spark, wd).items():
+                        best[k] = min(best.get(k, v), v)
+                t_a, s_a = read_cpu_stat()
+                steals.append(
+                    round(100.0 * (s_a - s_b) / max(t_a - t_b, 1), 2)
+                )
+                if steals[-1] <= STEAL_TOLERANCE:
+                    break
+            result["queries"] = best
+            result["ops"] = best
+            result["value"] = round(sum(best.values()), 3)
+            result["host_steal_pct"] = steals[-1]
+            result["host_steal_pct_per_pass"] = steals
+            print(json.dumps(result))
+            return
         if MODE in ("all", "cdc"):
             ensure_feed(spark, work_dir)  # input prep, outside steal windows
         best_cdc = None

@@ -21,12 +21,20 @@ import sys
 import time
 
 
-def run_once(cpus: int, events: int, files_per_batch: int = 8) -> dict:
+def run_once(
+    cpus: int, events: int, files_per_batch: int = 8, mode: str = "cdc",
+    ops_replicas: int = 0,
+) -> dict:
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_MODE="cdc",
+        SPARK_GRAFT_BENCH_MODE=mode,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_EVENTS=str(events),
+        **(
+            {"SPARK_GRAFT_OPS_REPLICAS": str(ops_replicas)}
+            if ops_replicas
+            else {}
+        ),
         # big batches: per-batch fixed cost (driver job scheduling, AQE
         # rounds, commit) is the serial fraction; amortize it like a real
         # cluster's batch sizing would
@@ -61,6 +69,9 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=4)
     ap.add_argument("--warm", type=int, default=32,
                     help="cpus for a cache-warming run (also the peak datapoint)")
+    ap.add_argument("--ops-replicas", type=int, default=200,
+                    help="corpus replication for the training-ops segment "
+                         "(0 skips it)")
     args = ap.parse_args()
 
     peak = None
@@ -92,6 +103,32 @@ def main() -> None:
     speedup = t_n / t_4n
     eff = speedup / (args.n4 / args.n)
 
+    # training-ops segment (pack_sequences + incremental index dedup):
+    # same two-level protocol, per-op efficiency. One bench.py invocation
+    # per level runs all ops best-of-REPEATS in-process (warm JVM).
+    ops: dict = {}
+    if args.ops_replicas:
+        ops_raw = {}
+        for cpus in (args.n4, args.n):
+            res = run_once(
+                cpus, args.events, mode="ops", ops_replicas=args.ops_replicas
+            )
+            ops_raw[cpus] = res
+            print(
+                f"ops local[{cpus}]: {res['ops']} "
+                f"steal={res.get('host_steal_pct')}%",
+                flush=True,
+            )
+        for op in ops_raw[args.n]["ops"]:
+            o_n = ops_raw[args.n]["ops"][op]
+            o_4n = ops_raw[args.n4]["ops"][op]
+            ops[op] = {
+                "t_n": o_n,
+                "t_4n": o_4n,
+                "speedup": round(o_n / o_4n, 2),
+                "efficiency": round((o_n / o_4n) / (args.n4 / args.n), 3),
+            }
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -116,6 +153,17 @@ criterion is evidenced at two local parallelism levels on identical input
 - all runs: {json.dumps({str(k): v for k, v in results.items()})}
 - peak run: {json.dumps(peak)}
 - date: {time.strftime('%Y-%m-%d %H:%M:%S')}
+
+## Training-ops segment (same two-level protocol)
+
+Corpus: documents.parquet replicated {args.ops_replicas}× with
+replica-suffixed ids (deterministic, no external data); pack_sequences at
+L=2048, minhash index build over the full corpus, then a 10%-batch probe
+against the stored index.
+
+| op | local[{args.n}] sec | local[{args.n4}] sec | speedup | efficiency |
+|---|---|---|---|---|
+{chr(10).join(f"| {op} | {v['t_n']} | {v['t_4n']} | {v['speedup']}x | {v['efficiency']} |" for op, v in ops.items()) if ops else "| (skipped) | | | | |"}
 
 Why it scales: the pipeline has one narrow shuffle (skinny dedup/counters)
 and one heavy shuffle (payload dedup + merge join + range-clustered write)

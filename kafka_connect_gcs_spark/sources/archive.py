@@ -34,14 +34,18 @@ Scale design (NOT the reference's sequential iterator):
   reference's data→index→cursor commit order (run.py:202-218). File names
   come from the first record's offset so a replayed flush overwrites
   instead of duplicating (A21, BlockGZIPFileWriter.java:161-167).
+* TRANSPORT is pluggable: every ``root`` argument accepts a POSIX path
+  (default, unchanged layout) or any :class:`~.store.ObjectStore` — the
+  reference's injected storage client (GCS.java:18-48). Executors carry
+  the picklable client; ranged chunk reads become HTTP Range requests
+  against a real bucket endpoint (see store.py / test_object_store.py,
+  the FakeGCS.java:22-47 pattern).
 """
 
 from __future__ import annotations
 
 import gzip
 import io
-import json
-import os
 import re
 from dataclasses import dataclass
 
@@ -50,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_connect_gcs_spark.sources.formats import ByteLengthFormat, CorruptRecord
+from kafka_connect_gcs_spark.sources.store import as_store
 
 #: {topic}-{ppppp}-{oooooooooooo}.gz — GCSFilesReader.java:58-63
 KEY_RE = re.compile(r"(?:.*/)?(?P<topic>.+)-(?P<part>\d{5})-(?P<offset>\d{12})\.gz$")
@@ -166,8 +171,9 @@ def index_key_for(data_key: str) -> str:
     return data_key[: -len(".gz")] + ".index.json"
 
 
-def cursor_key(prefix: str, topic: str, partition: int) -> str:
-    return os.path.join(prefix, f"last_chunk_index.{topic}-{partition:05d}.txt")
+def cursor_key(topic: str, partition: int) -> str:
+    """Cursor object key at the bucket root (system_test/run.py:214-218)."""
+    return f"last_chunk_index.{topic}-{partition:05d}.txt"
 
 
 # ---------------------------------------------------------------------------
@@ -177,19 +183,21 @@ def cursor_key(prefix: str, topic: str, partition: int) -> str:
 
 
 def _write_block_gzip(
-    path: str,
+    store,
+    key: str,
     frames: "list[bytes]",
     first_offset: int,
     chunk_threshold: int,
     header_bytes: "bytes | None" = None,
     io_filter: "ArchiveFilter | None" = None,
 ) -> ChunksIndex:
-    """One block-gzip file: rotate to a new gzip member when the incoming
-    record would push the chunk past the uncompressed threshold
-    (BlockGZIPFileWriter.java:191-200). An optional file header becomes its
-    OWN zero-record chunk so readers can skip it by index alone (A30,
-    BlockGZIPFileWriter.java:142-150). ``io_filter`` swaps the per-chunk
-    codec (A9; default block-gzip)."""
+    """One block-gzip object at ``key``: rotate to a new gzip member when
+    the incoming record would push the chunk past the uncompressed
+    threshold (BlockGZIPFileWriter.java:191-200). An optional file header
+    becomes its OWN zero-record chunk so readers can skip it by index
+    alone (A30, BlockGZIPFileWriter.java:142-150). ``io_filter`` swaps
+    the per-chunk codec (A9; default block-gzip); the upload goes through
+    the injected ``store`` (atomic last-write-wins put)."""
     io_filter = io_filter or GzipFilter()
     chunks: list[ChunkDescriptor] = []
     out = io.BytesIO()
@@ -224,11 +232,7 @@ def _write_block_gzip(
         buf_count += 1
     if buf_count:
         flush_chunk(bytes(buf), buf_first, buf_count)
-    tmp = path + ".inprogress"
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(out.getvalue())
-    os.replace(tmp, path)  # replay overwrites the same key — never duplicates
+    store.put(key, out.getvalue())  # atomic: replay overwrites, never dups
     return ChunksIndex(tuple(chunks))
 
 
@@ -245,7 +249,10 @@ def write_archive(
     rows into the reference layout under ``{root}/{date_prefix}/``. One
     file per (topic, partition) named by its first offset. Returns the
     per-file manifest (and writes cursors LAST, from the driver, after all
-    data+index uploads succeeded — the reference's commit order)."""
+    data+index uploads succeeded — the reference's commit order).
+    ``root`` is a POSIX path or an :class:`~.store.ObjectStore`; the
+    executor-side flush carries the picklable store client."""
+    store = as_store(root)
     fmt = fmt or ByteLengthFormat(include_keys=True)
     out_schema = T.StructType(
         [
@@ -258,8 +265,6 @@ def write_archive(
             T.StructField("num_chunks", T.IntegerType()),
         ]
     )
-    day_dir = os.path.join(root, date_prefix)
-
     def flush_group(pdf):
         import pandas as pd
 
@@ -300,22 +305,22 @@ def write_archive(
                 )
             )
         name = data_file_name(topic, part, first)
-        data_path = os.path.join(day_dir, name)
+        data_key = f"{date_prefix}/{name}"
         index = _write_block_gzip(
-            data_path, frames, first, chunk_threshold, header_bytes, io_filter
+            store, data_key, frames, first, chunk_threshold, header_bytes,
+            io_filter,
         )
-        ipath = index_key_for(data_path)
-        tmp = ipath + ".inprogress"
-        with open(tmp, "w") as f:
-            json.dump(index.to_json(), f)
-        os.replace(tmp, ipath)
+        # index AFTER data (the reference uploads the chunks index once the
+        # data object is complete — a reader never sees an index without
+        # its data)
+        store.put_json(index_key_for(data_key), index.to_json())
         return pd.DataFrame(
             [
                 {
                     "topic": topic,
                     "partition": part,
-                    "data_key": os.path.join(date_prefix, name),
-                    "index_key": index_key_for(os.path.join(date_prefix, name)),
+                    "data_key": data_key,
+                    "index_key": index_key_for(data_key),
                     "first_offset": first,
                     "num_records": len(pdf),
                     "num_chunks": len(index.chunks),
@@ -331,21 +336,16 @@ def write_archive(
     ]
     # cursor update AFTER every data+index pair landed (run.py:202-218)
     for m in manifest:
-        cpath = cursor_key(root, m["topic"], m["partition"])
-        os.makedirs(os.path.dirname(cpath), exist_ok=True)
-        tmp = cpath + ".inprogress"
-        with open(tmp, "w") as f:
-            f.write(m["index_key"])
-        os.replace(tmp, cpath)
+        store.put_text(cursor_key(m["topic"], m["partition"]), m["index_key"])
     return manifest
 
 
-def read_cursor(root: str, topic: str, partition: int) -> "str | None":
-    p = cursor_key(root, topic, partition)
-    if not os.path.exists(p):
+def read_cursor(root, topic: str, partition: int) -> "str | None":
+    store = as_store(root)
+    k = cursor_key(topic, partition)
+    if not store.exists(k):
         return None
-    with open(p) as f:
-        return f.read().strip()
+    return store.get_text(k).strip()
 
 
 # ---------------------------------------------------------------------------
@@ -353,29 +353,21 @@ def read_cursor(root: str, topic: str, partition: int) -> "str | None":
 # ---------------------------------------------------------------------------
 
 
-def _list_data_keys(root: str) -> list[str]:
-    keys = []
-    for dirpath, _dirs, files in os.walk(root):
-        for fn in files:
-            if fn.endswith(".gz"):
-                keys.append(
-                    os.path.relpath(os.path.join(dirpath, fn), root)
-                )
+def _list_data_keys(store) -> list[str]:
     # lexicographic key order IS offset order (zero-padded names,
-    # GCSFilesReader.java:44-47)
-    return sorted(keys)
+    # GCSFilesReader.java:44-47); ObjectStore.list is sorted by contract
+    return [k for k in store.list() if k.endswith(".gz")]
 
 
-def _load_index(root: str, data_key: str) -> "ChunksIndex | None":
-    p = os.path.join(root, index_key_for(data_key))
-    if not os.path.exists(p):
+def _load_index(store, data_key: str) -> "ChunksIndex | None":
+    k = index_key_for(data_key)
+    if not store.exists(k):
         return None
-    with open(p) as f:
-        return ChunksIndex.from_json(json.load(f))
+    return ChunksIndex.from_json(store.get_json(k))
 
 
 def plan_archive_scan(
-    root: str,
+    root,
     topics: "set[str] | None" = None,
     topics_ignore: "set[str] | None" = None,
     partitions: "set[int] | None" = None,
@@ -389,9 +381,10 @@ def plan_archive_scan(
     files with key < committed key are skipped whole (A5), the committed
     file itself resumes from chunkContaining(offset+1) (A6) with a residual
     record skip (A8), and later files read fully."""
+    store = as_store(root)
     offsets = offsets or {}
     plan: list[dict] = []
-    for key in _list_data_keys(root):
+    for key in _list_data_keys(store):
         m = KEY_RE.match(key)
         if not m:  # suffix/shape filter (A3)
             continue
@@ -416,7 +409,7 @@ def plan_archive_scan(
                 continue  # whole-file skip (GCSFilesReader.java:173-181)
             if key == ckey:
                 resume_after = coff
-        index = _load_index(root, key)
+        index = _load_index(store, key)
         if index is None:
             # no index: decode the whole file as one range (the name still
             # gives the first offset; last offset unknown until decoded)
@@ -607,7 +600,7 @@ class ArchiveTailer:
     def __init__(
         self,
         spark: SparkSession,
-        root: str,
+        root,
         fmt=None,
         topics: "set[str] | None" = None,
         topics_ignore: "set[str] | None" = None,
@@ -619,6 +612,7 @@ class ArchiveTailer:
     ):
         self.spark = spark
         self.root = root
+        self.store = as_store(root)
         self.fmt = fmt or ByteLengthFormat(include_keys=True)
         self.io_filter = io_filter
         self.topics = topics
@@ -635,7 +629,7 @@ class ArchiveTailer:
         """Records past the current offsets (None when caught up), with
         ``self.offsets`` advanced to cover everything returned."""
         plan = plan_archive_scan(
-            self.root,
+            self.store,
             topics=self.topics,
             topics_ignore=self.topics_ignore,
             partitions=self.partitions,
@@ -646,7 +640,7 @@ class ArchiveTailer:
             plan = plan[: self.max_chunks_per_poll]
         if not plan:
             return None
-        df = _decode_plan(self.spark, self.root, self.fmt, plan, self.io_filter)
+        df = _decode_plan(self.spark, self.store, self.fmt, plan, self.io_filter)
         indexless = [p for p in plan if p["last_offset"] < 0]
         if indexless:
             # learn indexless files' max offsets from the data in ONE pass
@@ -689,7 +683,7 @@ class ArchiveTailer:
 
 def read_archive(
     spark: SparkSession,
-    root: str,
+    root,
     fmt=None,
     topics: "set[str] | None" = None,
     topics_ignore: "set[str] | None" = None,
@@ -703,26 +697,29 @@ def read_archive(
     The plan (tiny metadata) is built on the driver; chunk decode fans out
     as an Arrow-batched ``mapInPandas`` with one ranged read per chunk —
     ≤ one uncompressed block of memory per task, chunk-count parallelism.
-    ``io_filter`` must match the writer's (A9; default block-gzip)."""
+    ``io_filter`` must match the writer's (A9; default block-gzip).
+    ``root``: POSIX path or :class:`~.store.ObjectStore`."""
+    store = as_store(root)
     fmt = fmt or ByteLengthFormat(include_keys=True)
     plan = plan_archive_scan(
-        root,
+        store,
         topics=topics,
         topics_ignore=topics_ignore,
         partitions=partitions,
         offsets=offsets,
         start_marker=start_marker,
     )
-    return _decode_plan(spark, root, fmt, plan, io_filter)
+    return _decode_plan(spark, store, fmt, plan, io_filter)
 
 
 def _decode_plan(
     spark: SparkSession,
-    root: str,
+    root,
     fmt,
     plan: list[dict],
     io_filter: "ArchiveFilter | None" = None,
 ) -> DataFrame:
+    store = as_store(root)
     io_filter = io_filter or GzipFilter()
     if not plan:
         return spark.createDataFrame([], RECORDS_SCHEMA)
@@ -752,12 +749,12 @@ def _decode_plan(
             rows = {k: [] for k in (
                 "topic", "partition", "offset", "key", "value", "headers")}
             for i in range(len(pdf)):
-                path = os.path.join(root, str(pdf["data_key"].iloc[i]))
                 boff = int(pdf["byte_offset"].iloc[i])
                 blen = int(pdf["byte_length"].iloc[i])
-                with open(path, "rb") as f:
-                    f.seek(boff)  # ranged read (GCSFilesReader.java:278-297)
-                    blob = f.read() if blen < 0 else f.read(blen)
+                # ranged read through the injected store client
+                # (GCSFilesReader.java:278-297; HTTP stores map this to a
+                # Range request — never a whole-object GET per chunk)
+                blob = store.get(str(pdf["data_key"].iloc[i]), boff, blen)
                 try:
                     raw = io_filter.decode(blob)
                     recs = fmt.decode(raw)

@@ -383,10 +383,16 @@ class CdcPipeline:
     # -- the loop -----------------------------------------------------------------
 
     def run_available(self, max_batches: int | None = None) -> list[dict]:
-        """Process currently-available feed segments (up to one listing
-        page, ``cfg.listing_page_size``; default 100 covers a whole poll's
-        worth), checkpointing after each micro-batch. Safe to kill at any
-        point and re-run; ``run_forever`` drains page after page."""
+        """Process EVERY feed segment visible at entry, checkpointing after
+        each micro-batch. The listing is consumed page-by-page
+        (``cfg.listing_page_size``, the gcs.page.size analog) but a single
+        call drains all pages of its entry snapshot — callers that ran
+        "process what's there now" get exactly that, regardless of how the
+        snapshot is paged. Bounding to the snapshot (never re-listing
+        mid-call) keeps the call terminating even when a producer appends
+        faster than we drain; ``run_forever`` re-lists between calls to
+        pick up what arrived meanwhile. Safe to kill at any point and
+        re-run."""
         out = []
         state = self.ckpt.load()
         segs = _list_segments(self.cfg.feed_path)
@@ -403,19 +409,18 @@ class CdcPipeline:
             while i < len(segs) and segs[i] < self.cfg.start_marker:
                 i += 1
         batches = 0
-        # gcs.page.size: one call consumes at most one listing page of
-        # segments past the checkpoint (GCSSourceTask.java:164); the poll
-        # loop's NEXT call lists the next page. Bounding the page to the
-        # entry snapshot (never re-listing mid-call) keeps two guarantees
-        # paging must not break: the call terminates even when a producer
-        # appends faster than we drain, and indices into `segs` stay valid
-        # for the whole call. Independent of max_files_per_batch (the
-        # records-per-poll analog, which bounds each batch WITHIN a page).
+        # gcs.page.size (GCSSourceTask.java:164): the page bounds how much
+        # of the listing one POLL ITERATION consumes — the micro-batch
+        # carve below never crosses a page boundary, mirroring the
+        # reference's page-at-a-time listing — but the loop walks page
+        # after page until the entry snapshot is drained. Independent of
+        # max_files_per_batch (the records-per-poll analog, which bounds
+        # each batch WITHIN a page).
         page = self.cfg.listing_page_size
-        page_end = min(len(segs), i + page) if page is not None else len(segs)
-        while i < page_end:
+        while i < len(segs):
             if max_batches is not None and batches >= max_batches:
                 break
+            page_end = min(len(segs), i + page) if page is not None else len(segs)
             batch = segs[i : i + min(self.cfg.max_files_per_batch, page_end - i)]
             lineage = self.run_batch(batch)
             i += len(batch)

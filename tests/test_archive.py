@@ -165,7 +165,7 @@ def test_cursor_points_at_latest_index(spark, root):
     assert read_cursor(root, "t", 0) == "2026-08-16/t-00000-000000000000.index.json"
     write_archive(_records_df(spark, "t", 0, 10, 10), root, "2026-08-17", FMT)
     assert read_cursor(root, "t", 0) == "2026-08-17/t-00000-000000000010.index.json"
-    assert os.path.exists(cursor_key(root, "t", 0))
+    assert os.path.exists(os.path.join(root, cursor_key("t", 0)))
 
 
 def test_values_only_mode(spark, root):
@@ -281,11 +281,13 @@ def test_block_writer_invariants_property():
         first=st.integers(min_value=0, max_value=10**9),
     )
     def check(sizes, threshold, first):
+        from kafka_connect_gcs_spark.sources.store import PosixStore
+
         frames = [bytes([i % 256]) * s for i, s in enumerate(sizes)]
         with tempfile.TemporaryDirectory() as d:
-            path = os.path.join(d, "t-00000-000000000000.gz")
-            index = _write_block_gzip(path, frames, first, threshold)
-            data = open(path, "rb").read()
+            key = "t-00000-000000000000.gz"
+            index = _write_block_gzip(PosixStore(d), key, frames, first, threshold)
+            data = open(os.path.join(d, key), "rb").read()
         at, rec_at = 0, 0
         for c in index.chunks:
             assert c.byte_offset == at

@@ -281,33 +281,36 @@ def test_page_size_tasks_properties_map_distinctly():
         assert k not in cfg.properties
 
 
-def test_listing_page_bounds_segments_per_call(spark, tmp_path):
-    """With a 2-segment listing page and max_files_per_batch=1, one
-    run_available call consumes at most one page (so a producer appending
-    faster than we drain can never wedge a call), successive polls drain
-    the remaining pages, and the full feed is consumed exactly once."""
+def test_listing_page_bounds_batches_not_the_call(spark, tmp_path):
+    """gcs.page.size bounds how much listing one poll iteration consumes —
+    a micro-batch never spans a page — but a single run_available call
+    walks page after page until its entry snapshot is drained, so
+    "process what's available now" callers ingest everything visible
+    (no silent under-ingest past page 1)."""
     from kafka_connect_gcs_spark.config import EngineConfig
     from kafka_connect_gcs_spark.sources.binlog import BinlogSpec, write_feed
     from kafka_connect_gcs_spark.streaming.pipeline import CdcPipeline
 
     feed = str(tmp_path / "feed")
     write_feed(spark, BinlogSpec(num_events=600, num_docs=80, seed=3), feed, 5)
+    total = spark.read.parquet(feed).count()  # includes injected duplicates
     cfg = EngineConfig(
         table_path=str(tmp_path / "table"),
         feed_path=feed,
         checkpoint_path=str(tmp_path / "ckpt"),
-        max_files_per_batch=1,
-        listing_page_size=2,
+        max_files_per_batch=10,  # would take all 5 segments in one batch...
+        listing_page_size=2,  # ...but a batch may not cross a page
         shuffle_partitions=4,
     )
     pipe = CdcPipeline(spark, cfg)
-    total = spark.read.parquet(feed).count()  # includes injected duplicates
-    per_call = [len(pipe.run_available()) for _ in range(4)]
-    assert per_call == [2, 2, 1, 0]  # one 2-segment page per poll, then dry
-    lineages = []
+    lineages = pipe.run_available()
+    # 5 segments at ≤2 per page ⇒ batches of 2,2,1 — one call, fully drained
+    assert [len(ln["segments"]) for ln in lineages] == [2, 2, 1]
+    assert sum(ln["events_in"] for ln in lineages) == total
+    assert pipe.run_available() == []  # checkpoint advanced past everything
     pipe2 = CdcPipeline(spark, cfg)  # same checkpoint: nothing to replay
     assert pipe2.run_available() == []
-    # a fresh pipeline over the same feed with paging drains everything
+    # max_batches still truncates mid-snapshot and the checkpoint resumes
     cfg_fresh = EngineConfig(
         table_path=str(tmp_path / "table2"),
         feed_path=feed,
@@ -317,9 +320,10 @@ def test_listing_page_bounds_segments_per_call(spark, tmp_path):
         shuffle_partitions=4,
     )
     p3 = CdcPipeline(spark, cfg_fresh)
-    while True:
-        got = p3.run_available()
-        if not got:
-            break
-        lineages.extend(got)
-    assert sum(ln["events_in"] for ln in lineages) == total
+    assert len(p3.run_available(max_batches=2)) == 2  # 2 of 5 segments
+    rest = p3.run_available()
+    assert len(rest) == 3
+    got = sum(ln["events_in"] for ln in rest) + sum(
+        ln["events_in"] for ln in p3.ckpt.lineage()[:2]
+    )
+    assert got == total
