@@ -758,6 +758,54 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source sampling (operators/sampling.py,
+    stratified_sample): keep fractions {src0: 0.8, src1: 0.25, src2: 0.5},
+    default 0.1 — the verdict is a pure md5 hash of the doc key, so DuckDB
+    replays membership bit-exactly (no RNG anywhere)."""
+    from kafka_connect_gcs_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "source"),
+        {"src0": 0.8, "src1": 0.25, "src2": 0.5},
+        default=0.1,
+        portable=True,
+    )
+
+
+def q_corpus_mix_epochs(spark, sf_dir):
+    """Weighted corpus mixing with epoch upsampling (operators/sampling.py,
+    corpus_mix): src0 at rate 2.5 (2 full epochs + half-sampled third),
+    src1 at 0.4 (downsample), everything else 1.0. The partial-epoch
+    verdict hashes (source|doc_id) with md5, so the oracle replays the
+    full explode + keep arithmetic."""
+    from kafka_connect_gcs_spark.operators.sampling import corpus_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_mix(
+        d.select("doc_id", "source"),
+        {"src0": 2.5, "src1": 0.4},
+        default=1.0,
+        portable=True,
+    ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+def q_token_budget_head(spark, sf_dir):
+    """Budgeted corpus selection (operators/sampling.py,
+    take_token_budget): walk docs in doc_id order and keep every doc whose
+    preceding token mass is < 12000 — the distributed exclusive prefix
+    sum (packing.py) reused for corpus curation. Oracle: window cumsum."""
+    from kafka_connect_gcs_spark.operators.sampling import take_token_budget
+    from kafka_connect_gcs_spark.operators.text import ws_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return take_token_budget(toks, 12_000, order_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -807,6 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mix_epochs": q_corpus_mix_epochs,
+        "token_budget_head": q_token_budget_head,
     }
 
 
@@ -1377,4 +1428,44 @@ def oracle_sql() -> dict[str, str]:
           FROM packed WHERE len(tokens) = 128
         """,
         "dedup_incremental": _dedup_incremental_sql(),
+        "sample_stratified": """
+          SELECT doc_id, source FROM documents
+          WHERE ('0x' || substr(md5('s0:' || doc_id), 1, 15))::BIGINT
+                / 1152921504606846976.0
+                < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.25
+                              WHEN 'src2' THEN 0.5 ELSE 0.1 END
+        """,
+        "corpus_mix_epochs": """
+          WITH r AS (
+            SELECT doc_id, source,
+                   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                               ELSE 1.0 END AS rate
+            FROM documents
+          ),
+          e AS (
+            SELECT doc_id, source, rate, u.epoch
+            FROM r, UNNEST(generate_series(0, CAST(floor(rate) AS BIGINT)))
+                    AS u(epoch)
+          )
+          SELECT doc_id, source, epoch FROM e
+          WHERE epoch < floor(rate)
+             OR ('0x' || substr(md5('s0:' || source || '|' || doc_id), 1, 15))
+                ::BIGINT / 1152921504606846976.0 < rate - floor(rate)
+        """,
+        "token_budget_head": f"""
+          WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_words_sql()}) AS BIGINT) AS n_tok
+            FROM documents
+          ),
+          o AS (
+            SELECT doc_id, n_tok,
+                   CAST(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tok AS BIGINT) AS budget_start
+            FROM t
+          )
+          SELECT doc_id, n_tok, budget_start FROM o
+          WHERE budget_start < 12000
+        """,
     }

@@ -10,6 +10,7 @@ new engine defines for CDC + training-data work.
 from kafka_connect_gcs_spark.operators.dedup_text import (  # noqa: F401
     hamming64,
     jaccard,
+    shingles_of_words,
     simhash64,
     word_shingles,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "fingerprint",
     "minhash_signature_words",
     "word_shingles",
+    "shingles_of_words",
     "jaccard",
     "simhash64",
     "hamming64",

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_gcs_spark.operators.dedup_text import (
     _minhash_of_shingles,
-    word_shingles,
+    staged_shingles,
 )
 
 
@@ -69,11 +69,12 @@ def banded_signatures(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    base = df.select(
+    # words → shingles → sig in STAGED projections: inlining the shingle
+    # expression into the 16 minhash lanes re-tokenizes each doc per lane
+    # (interpreted HOFs have no CSE) — measured 11× slower
+    base = staged_shingles(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("doc_id"),
-        _minhash_of_shingles(
-            word_shingles(F.col(text_col), shingle_n), num_hashes, portable
-        ).alias("sig"),
+        _minhash_of_shingles(F.col("sh"), num_hashes, portable).alias("sig"),
     )
     return base.select(
         "doc_id",

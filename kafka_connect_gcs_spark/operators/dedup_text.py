@@ -61,15 +61,21 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (n=1 → word set).
+def shingles_of_words(ws, n: int = 3):
+    """Distinct word n-gram shingles of an already-computed words array.
+
+    PASS AN ATTRIBUTE (a projected column), not the ``words(...)``
+    expression: ``ws`` is referenced inside the per-shingle transform
+    lambda, and interpreted HOFs have no common-subexpression elimination,
+    so an inlined ``split()`` re-tokenizes the document once PER SHINGLE
+    (measured 11× on the signature path). :func:`word_shingles` keeps the
+    from-text form for one-shot expression contexts.
 
     Docs with fewer than ``n`` words produce an EMPTY shingle set (matching
     the DuckDB oracle's ``range(1, greatest(len-2,0)+1)``). The guard also
     avoids Spark's descending-sequence gotcha: ``sequence(1, 0)`` yields
     ``[1, 0]`` (it counts DOWN when start > stop) and ``slice(ws, 0, n)``
     then throws — so short docs would crash, not merely mis-shingle."""
-    ws = words(col)
     if n == 1:
         return F.array_distinct(ws)
     idx = F.when(
@@ -77,6 +83,26 @@ def word_shingles(col, n: int = 3):
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Shingles straight from a text column — fine where the expression is
+    evaluated once per row; hot paths stage :func:`~...text.words` into
+    its own projection and use :func:`shingles_of_words` (see its note)."""
+    return shingles_of_words(words(col), n)
+
+
+def staged_shingles(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, sh) with words and shingles in SEPARATE projections so neither
+    expensive expression is inlined into a downstream lambda or fanned out
+    across signature lanes (CollapseProject keeps multi-referenced
+    non-cheap aliases staged). The shared hot path for every
+    shingle-signature consumer."""
+    return df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col), shingles_of_words(F.col("_ws"), n).alias("sh")
     )
 
 
@@ -109,9 +135,7 @@ def ngram_jaccard_pairs(
     quadratic job (10^10-doc corpora go through candidate generation;
     the guard checks ``limit(bound+1).count()`` so it never scans more
     than the bound)."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    sh = staged_shingles(df, id_col, text_col, n)
     if candidates is None:
         if df.limit(max_all_pairs_docs + 1).count() > max_all_pairs_docs:
             raise ValueError(
@@ -341,9 +365,7 @@ def minhash_lsh_pairs(
     if src.rdd.getNumPartitions() < target_parallelism:
         src = src.repartition(target_parallelism)
 
-    base = src.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn(
+    base = staged_shingles(src, id_col, text_col, shingle_n).withColumn(
         "sig", _minhash_of_shingles(F.col("sh"), num_hashes, portable)
     ).persist(StorageLevel.MEMORY_AND_DISK)
 

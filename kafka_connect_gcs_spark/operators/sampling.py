@@ -1,0 +1,172 @@
+"""Deterministic sampling, stratified mixing, and budgeted selection —
+the corpus-composition operators a training-data pipeline runs after
+dedup/quality and before packing.
+
+All decisions derive from a HASH OF THE ROW KEY, never from an RNG:
+
+* re-running the job reproduces the same corpus bit-for-bit (Spark's
+  ``df.sample`` is seed-stable only for identical partitioning, which a
+  100 TB pipeline can't promise across retries/AQE re-plans);
+* the sample composes with incremental ingest — a doc's keep/drop verdict
+  never changes as neighbors arrive, so yesterday's selection needn't be
+  recomputed;
+* DuckDB replays the portable (md5) form bit-exactly, making every
+  operator oracle-checkable end to end.
+
+Scale shape: everything here is a pure Catalyst expression on the row
+(filter / map-only explode) — no shuffle, no UDF, no driver data path —
+except :func:`take_token_budget`, which reuses packing's two-phase
+distributed exclusive prefix sum (ONE partition-count-row collect).
+
+No reference analog (the connector moves opaque bytes); part of the
+training-pipeline surface, same tier as packing/dedup_index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^60 — the portable bucket keeps 15 md5 hex chars = 60 bits, exactly
+#: representable in a double, so `hash/2^60 < fraction` compares the same
+#: in Spark and DuckDB
+_PORTABLE_SPAN = float(1 << 60)
+
+
+def hash_bucket(key: Column, seed: int = 0, portable: bool = False) -> Column:
+    """Uniform [0, 1) double derived from a key column.
+
+    Production: one ``xxhash64(key, seed)`` (JVM, codegen) mapped from
+    signed-64 range. Portable: 60 bits of ``md5('s{seed}:' || key)`` —
+    DuckDB: ``('0x' || substr(md5('s{seed}:' || key), 1, 15))::BIGINT
+    / 1152921504606846976.0`` reproduces it bit-exactly."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{seed}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h / F.lit(_PORTABLE_SPAN)
+    return (F.xxhash64(key, F.lit(seed)) / F.lit(float(1 << 64))) + F.lit(0.5)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with
+    ``hash_bucket(key) < fraction``. A pushed-down filter — at 100 TB the
+    sample never materializes the rejected rows past the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(hash_bucket(F.col(key_col), seed, portable) < fraction)
+
+
+def _rate_for(strata_col: str, rates: "dict[str, float]", default: float):
+    pairs = [
+        x
+        for k, v in sorted(rates.items())
+        for x in (F.lit(k), F.lit(float(v)))
+    ]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    return F.coalesce(m.getItem(F.col(strata_col)), F.lit(float(default)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: "dict[str, float]",
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each row keeps with its
+    stratum's fraction (``default`` for unlisted strata). One map-lookup
+    + filter; the strata table rides along as a literal ``create_map`` so
+    there is no join at all."""
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    frac = _rate_for(strata_col, fractions, default)
+    return df.where(hash_bucket(F.col(key_col), seed, portable) < frac)
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 0,
+    portable: bool = False,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Weighted corpus mixing with epoch upsampling: a row whose stratum
+    has rate ``r`` appears in ``floor(r)`` full epochs (``epoch`` =
+    0..floor(r)-1) plus one partial epoch kept with probability
+    ``r - floor(r)`` — so a source weighted 2.5 contributes every doc
+    twice and half the docs a third time, and a source weighted 0.3
+    contributes 30% of its docs once. The standard way to hit a target
+    source distribution for training without an RNG.
+
+    Deterministic: the partial-epoch verdict hashes the key (seeded by
+    the stratum so different sources sample independent subsets).
+    Map-only ``explode(sequence(...))`` — no shuffle; downstream
+    shuffles see only the already-mixed volume."""
+    rate = _rate_for(strata_col, weights, default)
+    n_full = F.floor(rate).cast("int")
+    part = rate - F.floor(rate)
+    out = df.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), n_full))
+    )
+    keep_partial = (
+        hash_bucket(
+            F.concat(F.col(strata_col), F.lit("|"), F.col(key_col)),
+            seed,
+            portable,
+        )
+        < part
+    )
+    return out.where((F.col(epoch_col) < n_full) | keep_partial)
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    n_col: str = "n_tok",
+    start_col: str = "budget_start",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Budgeted selection: walk rows in ``order_col`` order (rank docs by
+    quality first and order by (quality, id) for best-first selection)
+    and keep every row that STARTS inside the token budget — the largest
+    prefix whose preceding token mass is < ``budget``. Adds ``start_col``
+    (the row's exclusive running token total). The last kept row may
+    cross the boundary; trim it downstream when exact budgets matter.
+
+    ``order_col`` must be unique (it defines the scan's total order).
+    Scale shape: the exclusive prefix sum runs on the narrow
+    (order, n) projection via packing's two-phase scan; rows re-attach by
+    key, so wide payloads are never range-shuffled."""
+    from kafka_connect_gcs_spark.operators.packing import exclusive_prefix_sum
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    starts = exclusive_prefix_sum(
+        df.select(F.col(order_col), F.col(n_col).cast("long").alias("_n")),
+        order_col,
+        "_n",
+        out_col=start_col,
+        num_partitions=num_partitions,
+    )
+    kept = starts.where(F.col(start_col) < budget).select(
+        order_col, start_col
+    )
+    return df.join(kept, order_col)

@@ -1,0 +1,157 @@
+"""Deterministic sampling / corpus mixing / token-budget selection
+(operators/sampling.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.operators.sampling import (
+    corpus_mix,
+    hash_bucket,
+    hash_sample,
+    stratified_sample,
+    take_token_budget,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.range(2000)
+        .select(
+            F.concat(F.lit("d"), F.format_string("%05d", "id")).alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("source"),
+            (F.col("id") % 97 + 1).cast("long").alias("n_tok"),
+        )
+        .persist()
+    )
+
+
+def test_hash_sample_fraction_and_determinism(spark, docs):
+    for portable in (False, True):
+        kept = hash_sample(docs, 0.5, portable=portable)
+        n = kept.count()
+        assert abs(n - 1000) < 120  # binomial 3σ ≈ 67
+        ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        # membership is a pure key function: partitioning can't change it
+        again = {
+            r.doc_id
+            for r in hash_sample(docs.repartition(13), 0.5, portable=portable)
+            .select("doc_id")
+            .collect()
+        }
+        assert ids == again
+    # seeds decorrelate: overlap of two 50% samples ≈ 25%
+    a = {r.doc_id for r in hash_sample(docs, 0.5, seed=1).collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.5, seed=2).collect()}
+    assert abs(len(a & b) - 500) < 120
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_portable_bucket_matches_duckdb(spark, docs):
+    got = (
+        docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), seed=7, portable=True).alias("b")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    pdf = docs.select("doc_id").orderBy("doc_id").toPandas()
+    want = duckdb.sql(
+        "SELECT doc_id, ('0x' || substr(md5('s7:' || doc_id), 1, 15))::BIGINT"
+        " / 1152921504606846976.0 AS b FROM pdf ORDER BY doc_id"
+    ).fetchall()
+    assert [(r.doc_id, r.b) for r in got] == want  # bit-exact doubles
+
+
+def test_stratified_sample_per_stratum(spark, docs):
+    kept = stratified_sample(
+        docs, {"web": 0.2, "books": 1.0}, default=0.0, portable=True
+    )
+    by = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by.get("books") == docs.where("source='books'").count()  # all
+    assert "code" not in by  # default 0
+    web_total = docs.where("source='web'").count()
+    assert abs(by.get("web", 0) - 0.2 * web_total) < 60
+
+
+def test_corpus_mix_epochs(spark, docs):
+    mixed = corpus_mix(
+        docs, {"web": 2.5, "books": 0.4, "code": 1.0}, portable=True
+    ).persist()
+    per_doc = (
+        mixed.groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n"), F.max("epoch").alias("mx"))
+        .persist()
+    )
+    # code: exactly one epoch each (integer rate, no partials)
+    code = per_doc.where("source='code'")
+    assert code.where("n != 1 OR mx != 0").count() == 0
+    assert code.count() == docs.where("source='code'").count()
+    # web: every doc twice, about half three times, epochs are 0..n-1 dense
+    web = per_doc.where("source='web'").collect()
+    assert all(r.n in (2, 3) and r.mx == r.n - 1 for r in web)
+    n_web = docs.where("source='web'").count()
+    assert abs(sum(1 for r in web if r.n == 3) - 0.5 * n_web) < 80
+    # books: ~40% appear once, none twice
+    books = per_doc.where("source='books'").collect()
+    assert all(r.n == 1 and r.mx == 0 for r in books)
+    n_books = docs.where("source='books'").count()
+    assert abs(len(books) - 0.4 * n_books) < 80
+    # deterministic under repartition
+    again = corpus_mix(
+        docs.repartition(11), {"web": 2.5, "books": 0.4, "code": 1.0},
+        portable=True,
+    )
+    assert sorted(map(tuple, mixed.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # map-only: the mix itself introduces no shuffle
+    plan = (
+        corpus_mix(docs, {"web": 2.5}, portable=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    mixed.unpersist()
+    per_doc.unpersist()
+
+
+def test_take_token_budget_exact_prefix(spark):
+    rows = [("a", 10), ("b", 20), ("c", 30), ("d", 40)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    kept = take_token_budget(df, 35, order_col="doc_id")
+    got = {(r.doc_id, r.budget_start) for r in kept.collect()}
+    # a starts at 0, b at 10, c at 30 (crosses but starts inside), d at 60
+    assert got == {("a", 0), ("b", 10), ("c", 30)}
+    assert take_token_budget(df, 0).count() == 0
+    assert take_token_budget(df, 10**9).count() == 4
+    with pytest.raises(ValueError):
+        take_token_budget(df, -1)
+
+
+def test_take_token_budget_matches_window_oracle(spark, docs):
+    budget = 40_000
+    kept = take_token_budget(docs, budget).select("doc_id", "budget_start")
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    oracle = (
+        docs.withColumn("cum", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .where(F.col("cum") < budget)
+        .select("doc_id", F.col("cum").alias("budget_start"))
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, oracle.collect())
+    )
