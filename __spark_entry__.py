@@ -292,11 +292,18 @@ def q_text_langid(spark, sf_dir):
 
 
 def q_text_minhash(spark, sf_dir):
-    from kafka_connect_gcs_spark.operators.text import minhash_signature_words
+    from kafka_connect_gcs_spark.operators.text import (
+        minhash_signature_of_words,
+        words,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature_words(F.col("text"), num_hashes=8)
-    return d.select("doc_id", F.concat_ws(",", sig).alias("sig"))
+    # stage the word set; inlining it re-evaluates once per hash lane
+    staged = d.select(
+        "doc_id", F.array_distinct(words(F.col("text"))).alias("_ws")
+    )
+    sig = minhash_signature_of_words(F.col("_ws"), num_hashes=8)
+    return staged.select("doc_id", F.concat_ws(",", sig).alias("sig"))
 
 
 def q_dedup_exact_docs(spark, sf_dir):
@@ -377,15 +384,21 @@ def q_text_winnow(spark, sf_dir):
     engine-portable form: md5-derived 60-bit gram hashes, window minima,
     distinct + sort — DuckDB replays every step bit-for-bit. Production
     path uses xxhash64 grams (operators/text.winnow_fingerprint)."""
-    from kafka_connect_gcs_spark.operators.text import winnow_fingerprint
+    from kafka_connect_gcs_spark.operators.text import (
+        gram_hashes,
+        winnow_from_gram_hashes,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("doc_id") < 300
     )
+    # stage gram hashing; the sliding chain re-reads the attribute
     return d.select(
+        "doc_id", gram_hashes(F.col("text"), k=8, portable=True).alias("_hs")
+    ).select(
         "doc_id",
         F.concat_ws(
-            ",", winnow_fingerprint(F.col("text"), k=8, w=4, portable=True)
+            ",", winnow_from_gram_hashes(F.col("_hs"), w=4)
             .cast("array<string>")
         ).alias("winnow"),
     )

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "ann_topk_quantized",
     "pack_sequences",
+    "corpus_mix_epochs",
+    "token_budget_head",
 ]
 
 

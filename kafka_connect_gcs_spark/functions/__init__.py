@@ -23,12 +23,15 @@ from kafka_connect_gcs_spark.operators.similarity import (  # noqa: F401
 from kafka_connect_gcs_spark.operators.text import (  # noqa: F401
     bpe_token_count,
     fingerprint,
+    gram_hashes,
     lang_guess,
     mean_word_len,
+    minhash_signature_of_words,
     minhash_signature_words,
     punct_ratio,
     quality_score,
     stopword_ratio,
+    winnow_from_gram_hashes,
     words,
     ws_token_count,
 )
@@ -45,6 +48,9 @@ __all__ = [
     "lang_guess",
     "fingerprint",
     "minhash_signature_words",
+    "minhash_signature_of_words",
+    "gram_hashes",
+    "winnow_from_gram_hashes",
     "word_shingles",
     "shingles_of_words",
     "jaccard",

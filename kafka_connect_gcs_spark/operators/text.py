@@ -116,6 +116,28 @@ def fingerprint(col: Column) -> Column:
     return F.md5(col)
 
 
+def gram_hashes(col: Column, k: int = 8, portable: bool = False) -> Column:
+    """Hashes of every character k-gram of ``col`` — the winnowing input.
+    Split out so DataFrame-level callers can STAGE it into its own
+    projection: the sliding-minimum chain below references the hash array
+    ~2^rounds times, and interpreted HOFs re-evaluate duplicated subtrees
+    (no CSE), so an inlined gram-hash expression re-hashes the document
+    once per duplicate while an attribute re-read is free."""
+    n = F.length(col)
+    grams = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    if portable:
+        def gram_hash(i):
+            return F.conv(
+                F.substring(F.md5(F.substring(col, i, k)), 1, 15), 16, 10
+            ).cast("long")
+    else:
+        def gram_hash(i):
+            return F.xxhash64(F.substring(col, i, k))
+    return F.transform(grams, gram_hash)
+
+
 def winnow_fingerprint(
     col: Column, k: int = 8, w: int = 4, portable: bool = False
 ) -> Column:
@@ -131,20 +153,19 @@ def winnow_fingerprint(
     vectorized inside codegen, which is the Spark-native equivalent.
     portable=True uses md5-derived 60-bit ints (bit-identical in DuckDB, so
     the oracle replays the whole pipeline); default is xxhash64 (one JVM
-    hash per gram — the production path)."""
-    n = F.length(col)
-    grams = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    if portable:
-        def gram_hash(i):
-            return F.conv(
-                F.substring(F.md5(F.substring(col, i, k)), 1, 15), 16, 10
-            ).cast("long")
-    else:
-        def gram_hash(i):
-            return F.xxhash64(F.substring(col, i, k))
-    hs = F.transform(grams, gram_hash)
+    hash per gram — the production path).
+
+    One-shot expression form: the gram-hash array is inlined into the
+    sliding chain and re-evaluated per duplicate. Hot paths use
+    :func:`winnow_fingerprints`, which stages :func:`gram_hashes` into its
+    own projection first."""
+    return winnow_from_gram_hashes(gram_hashes(col, k, portable), w)
+
+
+def winnow_from_gram_hashes(hs: Column, w: int = 4) -> Column:
+    """Winnowing over an already-computed gram-hash array — pass an
+    ATTRIBUTE (projected column) so the ~2^rounds structural duplicates
+    below re-read a row slot instead of re-hashing the document."""
     nh = F.size(hs)
     # Sliding-window minimum via sparse-table doubling (zip_with of the
     # array against its own shifted slice, log2(w) rounds + one overlap
@@ -196,11 +217,12 @@ def winnow_fingerprints(
     tp = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < tp:
         src = src.repartition(tp)
+    # stage gram hashing into its own projection (see gram_hashes): the
+    # sliding chain's duplicates then re-read an attribute, not re-hash
     return src.select(
-        id_col,
-        winnow_fingerprint(F.col(text_col), k=k, w=w, portable=portable).alias(
-            "winnow"
-        ),
+        id_col, gram_hashes(F.col(text_col), k=k, portable=portable).alias("_hs")
+    ).select(
+        id_col, winnow_from_gram_hashes(F.col("_hs"), w=w).alias("winnow")
     )
 
 
@@ -208,8 +230,20 @@ def minhash_signature_words(col: Column, num_hashes: int = 16) -> Column:
     """Bottom-sketch fingerprint over the word set: for each of H seeded
     hash functions take min over words of md5-derived 60-bit ints. Built
     from engine-portable primitives (md5 + hex→int) so DuckDB can reproduce
-    it exactly — used by both the LSH near-dup path and its oracle."""
-    ws = F.array_distinct(words(col))
+    it exactly — used by both the LSH near-dup path and its oracle.
+
+    One-shot expression form — the word set is inlined (and re-evaluated,
+    no CSE in interpreted HOFs) once per hash lane. Hot paths project
+    ``array_distinct(words(col))`` first and call
+    :func:`minhash_signature_of_words` on the attribute."""
+    return minhash_signature_of_words(
+        F.array_distinct(words(col)), num_hashes
+    )
+
+
+def minhash_signature_of_words(ws: Column, num_hashes: int = 16) -> Column:
+    """Signature over an already-projected distinct-word array (pass an
+    ATTRIBUTE; see :func:`minhash_signature_words`)."""
 
     def hasher(i: int):
         # NOTE: single-arg lambda only — a two-parameter lambda makes
