@@ -819,6 +819,95 @@ def q_token_budget_head(spark, sf_dir):
     return take_token_budget(toks, 12_000, order_col="doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py, decontaminate):
+    the held-out "eval suite" is every 13th document; flag corpus docs
+    whose distinct word-5-gram sets overlap it ≥ 5%. The benchmark gram
+    set is broadcast, so the corpus side never shuffles for the probe."""
+    from kafka_connect_gcs_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    out = decontaminate(d, bench, n=5, threshold=0.05)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "contamination",
+        "contaminated",
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (operators/curation.py,
+    repetition_stats): duplicate-word fraction + top-2/3-gram mass per
+    doc, flagged at (0.6, 0.2, 0.18). Pure map — one corpus scan."""
+    from kafka_connect_gcs_spark.operators.curation import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_stats(d)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "top2gram_frac",
+        "top3gram_frac",
+        "repetitive",
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scan + redaction (operators/curation.py): PII-shaped spans are
+    injected deterministically (every 7th doc an email, every 11th an
+    IPv4 + long account number — no external data), then counted and
+    redacted; red_fp is the md5 of the redacted text so the oracle
+    verifies the rewrite byte-for-byte."""
+    from kafka_connect_gcs_spark.operators.curation import pii_redact, pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            did % 7 == 0,
+            F.concat(t, F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.org")),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(t, F.lit(" from 10.2."), (did % 256).cast("string"),
+                     F.lit(".7 acct 9003456789")),
+        )
+        .otherwise(t)
+        .alias("text"),
+    )
+    st = pii_stats(injected).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_long_digits").cast("long").alias("n_long_digits"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+    red = pii_redact(injected).select(
+        "doc_id", F.md5("text").alias("red_fp")
+    )
+    return st.join(red, "doc_id")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality score (operators/curation.py,
+    unigram_logprob): mean ln p(word) per doc under the corpus's own
+    unigram distribution — the order-0 CCNet/KenLM perplexity filter."""
+    from kafka_connect_gcs_spark.operators.curation import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"), "avg_logprob"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -871,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "corpus_mix_epochs": q_corpus_mix_epochs,
         "token_budget_head": q_token_budget_head,
+        "decontaminate_bench": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1480,5 +1573,122 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, n_tok, budget_start FROM o
           WHERE budget_start < 12000
+        """,
+        "decontaminate_bench": f"""
+          WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+          g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(ws)-4, 0)+1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+            FROM w
+          ),
+          bg AS (
+            SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 13 = 0
+          ),
+          ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          hits AS (
+            SELECT doc_id, count(*) AS n_hit
+            FROM ex JOIN bg USING (gram) GROUP BY doc_id
+          )
+          SELECT g.doc_id,
+                 CAST(len(g.grams) AS BIGINT) AS n_grams,
+                 CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 round(CASE WHEN len(g.grams) > 0
+                       THEN coalesce(h.n_hit, 0) / CAST(len(g.grams) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS contamination,
+                 round(CASE WHEN len(g.grams) > 0
+                       THEN coalesce(h.n_hit, 0) / CAST(len(g.grams) AS DOUBLE)
+                       ELSE 0.0 END, 6) >= 0.05 AS contaminated
+          FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        """,
+        "repetition_stats": f"""
+          WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+          g AS (
+            SELECT doc_id, ws,
+                   list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                     i -> ws[i] || ' ' || ws[i+1]) AS g2,
+                   list_transform(range(1, greatest(len(ws)-2, 0)+1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+            FROM w
+          ),
+          t2 AS (
+            SELECT doc_id, max(c) AS mx, sum(c) AS tot
+            FROM (SELECT doc_id, gram, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+                  GROUP BY doc_id, gram)
+            GROUP BY doc_id
+          ),
+          t3 AS (
+            SELECT doc_id, max(c) AS mx, sum(c) AS tot
+            FROM (SELECT doc_id, gram, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g3) AS gram FROM g)
+                  GROUP BY doc_id, gram)
+            GROUP BY doc_id
+          ),
+          s AS (
+            SELECT g.doc_id,
+                   CAST(len(g.ws) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(g.ws) > 0
+                         THEN 1.0 - len(list_distinct(g.ws))
+                              / CAST(len(g.ws) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(coalesce(t2.mx / CAST(t2.tot AS DOUBLE), 0.0), 6)
+                     AS top2gram_frac,
+                   round(coalesce(t3.mx / CAST(t3.tot AS DOUBLE), 0.0), 6)
+                     AS top3gram_frac
+            FROM g LEFT JOIN t2 ON g.doc_id = t2.doc_id
+                   LEFT JOIN t3 ON g.doc_id = t3.doc_id
+          )
+          SELECT *, (dup_word_frac > 0.6 OR top2gram_frac > 0.2
+                     OR top3gram_frac > 0.18) AS repetitive
+          FROM s
+        """,
+        "pii_scrub": r"""
+          WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.org'
+                        WHEN doc_id % 11 = 0
+                        THEN text || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.7 acct 9003456789'
+                        ELSE text END AS text
+            FROM documents
+          ),
+          pats AS (
+            SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b' AS ipv4,
+                   '\b[0-9]{9,}\b' AS longd
+          )
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, email)) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(text, ipv4)) AS BIGINT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(text, longd)) AS BIGINT)
+                   AS n_long_digits,
+                 CAST(len(regexp_extract_all(text, email))
+                      + len(regexp_extract_all(text, ipv4))
+                      + len(regexp_extract_all(text, longd)) AS BIGINT) AS n_pii,
+                 md5(regexp_replace(regexp_replace(regexp_replace(
+                       text, email, '[PII]', 'g'), ipv4, '[PII]', 'g'),
+                       longd, '[PII]', 'g')) AS red_fp
+          FROM inj, pats
+        """,
+        "unigram_logprob": f"""
+          WITH w AS (
+            SELECT doc_id, unnest({_words_sql()}) AS word FROM documents
+          ),
+          pairs AS (
+            SELECT doc_id, word, count(*) AS k FROM w GROUP BY doc_id, word
+          ),
+          vocab AS (SELECT word, sum(k) AS c FROM pairs GROUP BY word),
+          tot AS (SELECT sum(c) AS tot FROM vocab)
+          SELECT doc_id,
+                 CAST(sum(k) AS BIGINT) AS n_words,
+                 round(sum(k * ln(c / CAST(tot AS DOUBLE))) / sum(k), 6)
+                   AS avg_logprob
+          FROM pairs JOIN vocab USING (word) CROSS JOIN tot
+          GROUP BY doc_id
         """,
     }

@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "pack_sequences",
     "corpus_mix_epochs",
     "token_budget_head",
+    "decontaminate_bench",
+    "repetition_stats",
+    "unigram_logprob",
 ]
 
 

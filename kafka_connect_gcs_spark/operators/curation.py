@@ -1,0 +1,276 @@
+"""Corpus-curation operators a training-data pipeline runs between ingest
+and packing: benchmark decontamination, repetition-based quality stats
+(the Gopher rules), and PII detection/redaction.
+
+Like operators/text.py these extend the engine beyond the reference's
+byte-opaque model (the reference connector never inspects payloads; a
+100 TB training pipeline must). Hot paths are Catalyst built-ins —
+whole-stage codegen or interpreted HOFs over per-row arrays, never
+per-row Python — and every statistic is replayable as ANSI SQL for the
+DuckDB oracle.
+
+Scale notes (the 100 TB question, per op):
+
+- ``decontaminate``: the benchmark side of the join is the SMALL side by
+  construction (eval suites are MBs, the corpus is TBs) — its distinct
+  gram hashes are broadcast, so the corpus is scanned exactly once,
+  map-side, with no corpus shuffle for the join itself. The only
+  exchange carries ``(doc_id, matched-gram)`` rows for grams that HIT
+  the benchmark (rare by definition), then a per-doc count. Corpus gram
+  arrays never leave their partition.
+- ``repetition_stats``: pure map — one projection per doc, zero
+  shuffles. The run-length scan works on the doc's own sorted gram
+  array (bounded by doc length), not on corpus-wide state.
+- ``pii_stats`` / ``pii_redact``: pure map, ``regexp_count`` /
+  ``regexp_replace`` inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+# Regexes restricted to the RE2 ∩ java.util.regex common dialect (no
+# backreferences, no lookaround) so the DuckDB oracle matches them
+# byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+LONG_DIGIT_RE = r"\b[0-9]{9,}\b"  # SSN/phone/account-number shaped
+
+PII_PATTERNS: dict[str, str] = {
+    "email": EMAIL_RE,
+    "ipv4": IPV4_RE,
+    "long_digits": LONG_DIGIT_RE,
+}
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams of an already-projected word array.
+    Pass an ATTRIBUTE (see text.gram_hashes' no-CSE note): the result is
+    referenced by several consumers and interpreted HOFs re-evaluate
+    duplicated subtrees."""
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+
+
+# -- benchmark decontamination -------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Flag corpus documents whose word ``n``-gram sets overlap a held-out
+    benchmark/eval set — the standard train/test decontamination pass
+    (GPT-3 appendix C / PaLM-style n-gram collision check).
+
+    Returns one row per corpus doc: ``(id_col, n_grams, n_hit,
+    contamination, contaminated)`` where ``contamination`` is the
+    fraction of the doc's DISTINCT n-grams that appear anywhere in the
+    benchmark and ``contaminated`` applies ``threshold``.
+
+    Plan shape: benchmark grams → distinct → **broadcast** (eval suites
+    are small by construction); corpus grams explode and inner-join the
+    broadcast map-side, so only HITTING grams reach the one exchange
+    (per-doc count agg). Docs with zero hits are restored by the final
+    left join against the narrow per-doc gram counts — also a skinny
+    relation (id + int).
+    """
+    # n-grams are formed over the ORIGINAL word sequence (dedup would
+    # splice non-adjacent words into phantom grams); only the per-doc
+    # gram SET is distinct'd.
+    ws = words(F.col(text_col))
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(ws, n)).alias("_grams"),
+    )
+    totals = doc_grams.select(
+        id_col, F.size("_grams").alias("n_grams")
+    )
+    hits = (
+        doc_grams.select(id_col, F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("contaminated", F.col("contamination") >= threshold)
+    )
+    return out.select(id_col, "n_grams", "n_hit", "contamination", "contaminated")
+
+
+# -- repetition / Gopher quality rules -----------------------------------------
+
+
+def _max_run_frac(arr: Column) -> Column:
+    """max over distinct values of (occurrences / total), computed as the
+    longest equal-run in the SORTED array via one aggregate scan —
+    per-row compute bounded by doc length, no corpus state. Null-safe:
+    empty arrays yield 0.0."""
+    sorted_arr = F.array_sort(arr)
+    scan = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return F.when(
+        F.size(arr) > 0, scan["best"] / F.size(arr)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.6,
+    max_top2_frac: float = 0.2,
+    max_top3_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1): fraction of duplicate words, and the fraction of all word
+    2-/3-grams claimed by the single most frequent one. Documents whose
+    repetition exceeds any threshold are flagged for removal.
+
+    Pure map (one projection), so the 100 TB cost is one corpus scan."""
+    ws = words(F.col(text_col))
+    staged = df.select(
+        id_col,
+        ws.alias("_ws"),
+    ).select(
+        id_col,
+        "_ws",
+        word_ngrams(F.col("_ws"), 2).alias("_g2"),
+        word_ngrams(F.col("_ws"), 3).alias("_g3"),
+    )
+    dup_word = F.when(
+        F.size("_ws") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_ws")) / F.size("_ws"),
+    ).otherwise(F.lit(0.0))
+    out = staged.select(
+        id_col,
+        F.size("_ws").alias("n_words"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(_max_run_frac(F.col("_g2")), 6).alias("top2gram_frac"),
+        F.round(_max_run_frac(F.col("_g3")), 6).alias("top3gram_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > max_dup_word_frac)
+        | (F.col("top2gram_frac") > max_top2_frac)
+        | (F.col("top3gram_frac") > max_top3_frac),
+    )
+
+
+# -- corpus-level LM quality score ---------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (the CCNet/KenLM-style perplexity filter, reduced to the
+    order-0 model that needs no external artifacts): build word counts
+    over the WHOLE corpus, then score each doc by
+    ``sum_w k_w·ln(c_w/total) / n_words``. Low scores mark gibberish /
+    off-distribution docs.
+
+    Plan shape for 100 TB: docs collapse to DISTINCT ``(doc, word, k)``
+    pairs map-side first (duplicates never shuffle), the vocabulary agg
+    is map-side combined so its exchange carries ≈|vocab per partition|,
+    and the scoring join + per-doc sum shuffle the distinct pairs — the
+    floor for a statistic every word participates in. The corpus total is
+    a 1-row broadcast, not a driver constant baked into the plan.
+    """
+    pairs = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("k"))
+    )
+    vocab = pairs.groupBy("word").agg(F.sum("k").alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    scored = (
+        pairs.join(vocab, "word")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.log(F.col("c") / F.col("tot"))).alias("_lp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_words",
+        F.round(F.col("_lp") / F.col("n_words"), 6).alias("avg_logprob"),
+    )
+
+
+# -- PII -----------------------------------------------------------------------
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc counts of PII-shaped spans (email / IPv4 / long digit runs)
+    plus a total. regexp_count is JVM-side codegen; one corpus scan."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for name in PII_PATTERNS:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii", total)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Replace every PII-shaped span with ``replacement``. Patterns are
+    applied in PII_PATTERNS order (email first, so its digits are masked
+    before the digit-run rule sees them)."""
+    c = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return df.withColumn(text_col, c)
