@@ -646,6 +646,39 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq.py), reported as
+    recall@10 vs in-query brute force — same quantitative-gate pattern as
+    ann_topk_ivf: PQ is lossy by design, so the oracle pins the MEASURED
+    deterministic recall at sf0.01. The corpus is scanned as 8-int codes
+    (encode-once-at-write in production), scores are LUT sums in the JVM,
+    and the only exchange is the bounded top-k finalization."""
+    from kafka_connect_gcs_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from kafka_connect_gcs_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(e, num_subspaces=8, codes_per_subspace=16, iterations=3)
+    codes = pq_encode(e, books)
+    approx = pq_adc_topk(codes, books, q, k=10).select("query_id", "vec_id")
+    truth = brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    hits = approx.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    base = q.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 2).alias("recall"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """RP-LSH cosine near-dup over quantized embeddings with PLANTED
     near-duplicates (vec_id < 20 cloned at +1e-3 on one dimension, ids
@@ -954,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_float": q_ann_topk_float,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         "embedding_neardup": q_embedding_neardup,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
@@ -1472,6 +1506,17 @@ def oracle_sql() -> dict[str, str]:
             (2::BIGINT, 4::BIGINT, 0.4::DOUBLE),
             (3::BIGINT, 5::BIGINT, 0.5::DOUBLE),
             (4::BIGINT, 6::BIGINT, 0.6::DOUBLE)
+          ) AS t(query_id, hits, recall)
+        """,
+        # measured deterministic PQ ADC recall@10 at sf0.01 (hash-ordered
+        # sample + fixed k-means init + literal-expr encode => bit-stable)
+        "ann_topk_pq": """
+          SELECT * FROM (VALUES
+            (0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (1::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (2::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (3::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (4::BIGINT, 3::BIGINT, 0.3::DOUBLE)
           ) AS t(query_id, hits, recall)
         """,
         "embedding_neardup": """

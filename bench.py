@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "dedup_exact_docs",
     "ann_topk_quantized",
+    "ann_topk_pq",
     "pack_sequences",
     "corpus_mix_epochs",
     "token_budget_head",

@@ -236,6 +236,58 @@ def assign_centroid_expr(centroids, vec):
     return -F.array_max(entries)["neg_cid"]
 
 
+def assign_centroid_pandas(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE numpy matmul per Arrow batch —
+    the vectorized sibling of :func:`assign_centroid_expr` for wide
+    vectors / large centroid counts where the interpreted HOF loses to
+    BLAS. Same objective (argmax of v·c − ||c||²/2) and the same
+    smallest-cid tie-break (cids are sorted ascending and np.argmax takes
+    the first maximum).
+
+    Still a pure map: no shuffle, no collect; the centroid matrix ships
+    by closure (it is index metadata, KBs). CAVEAT for bit-determinism:
+    the HOF path folds v·c sequentially while BLAS sums pairwise, so a
+    vector whose top-2 scores differ by < float-fold error may flip
+    buckets between the two paths — irrelevant for ANN recall, but pin
+    one path per stored index (test_ivf asserts the two agree on the
+    test corpora)."""
+    import numpy as np
+
+    cids = np.asarray([int(c) for c, _ in centroids])
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    C = np.asarray([v for _, v in centroids], dtype="float64")[order]
+    half = 0.5 * (C * C).sum(axis=1)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # a NEW StructType — StructType.add mutates (and returns) the receiver,
+    # and df.schema hands back the DataFrame's CACHED schema object, so
+    # .add() on it corrupts df's own column list
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                scores = V @ C.T - half
+                pdf = pdf.assign(
+                    **{out_col: cids[scores.argmax(axis=1)].astype("int32")}
+                )
+            else:
+                pdf = pdf.assign(**{out_col: np.array([], dtype="int32")})
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def _train_centroids_numpy(sample_rows, num_centroids: int, iterations: int):
     """Deterministic Lloyd iterations over a bounded sample, driver-side in
     numpy — the FAISS recipe: the coarse quantizer is trained on a sample
@@ -278,9 +330,17 @@ def ivf_assign(
     sample_per_centroid: int = 256,
     centroids: "list | None" = None,
     cache_key=None,
+    method: str = "expr",
 ):
     """IVF coarse quantizer. Returns (assignments df with ``centroid``
     column, centroids as a python list of (cid, vector)).
+
+    ``method``: ``"expr"`` (default) assigns via the O(1)-size literal
+    HOF expression — stays inside the JVM, composes with other Catalyst
+    exprs; ``"pandas"`` routes through :func:`assign_centroid_pandas`
+    (numpy/BLAS per Arrow batch) — faster for wide vectors or many
+    centroids. Both are pure maps; pick one per stored index (see the
+    bit-determinism caveat on assign_centroid_pandas).
 
     Scale shape (the round-1 design ran Lloyd over the FULL corpus with a
     per-centroid ``collect_list`` of member vectors — an executor OOM at
@@ -321,9 +381,12 @@ def ivf_assign(
         )
         if cache_key is not None:
             _CENTROID_CACHE[memo_key] = centroids
-    assigned = df.withColumn(
-        "centroid", assign_centroid_expr(centroids, F.col(vec_col))
-    )
+    if method == "pandas":
+        assigned = assign_centroid_pandas(df, centroids, vec_col=vec_col)
+    else:
+        assigned = df.withColumn(
+            "centroid", assign_centroid_expr(centroids, F.col(vec_col))
+        )
     return assigned, centroids
 
 
@@ -340,6 +403,7 @@ def ivf_topk(
     iterations: int = 3,
     centroids: "list | None" = None,
     cache_key=None,
+    assign_method: str = "expr",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to centroids once, then score
     each query only against its ``nprobe`` nearest centroid buckets — the
@@ -362,6 +426,7 @@ def ivf_topk(
         vec_col=vec_col,
         centroids=centroids,
         cache_key=cache_key,
+        method=assign_method,
     )
     import math
 
@@ -413,6 +478,7 @@ def ivf_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    assign_method: str = "expr",
 ) -> list:
     """The true 100 TB shape: assign ONCE at write time and store the
     corpus PARTITIONED BY centroid. Queries then touch only their nprobe
@@ -428,6 +494,7 @@ def ivf_write(
         seed=seed,
         id_col=id_col,
         vec_col=vec_col,
+        method=assign_method,
     )
     (
         assigned.repartition("centroid")

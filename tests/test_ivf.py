@@ -72,3 +72,31 @@ def test_ivf_prepartitioned_store_matches_and_prunes(spark, emb, tmp_path):
         spark.read.parquet(path).where(F.col("centroid").isin([1, 3]))
     )
     assert "PartitionFilters" in plan and "centroid" in plan
+
+
+def test_pandas_assignment_agrees_with_expr(spark, emb):
+    """assign_centroid_pandas (numpy matmul) must bucket the corpus the
+    same way as the literal-HOF expression — the two paths share the
+    argmax objective and tie-break; only pathological float near-ties
+    could differ, and the test corpus has none."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        assign_centroid_pandas,
+    )
+
+    assigned, cents = ivf_assign(emb, num_centroids=8, iterations=2)
+    via_pandas = assign_centroid_pandas(emb, cents)
+    a_expr = {r.vec_id: r.centroid for r in assigned.collect()}
+    a_np = {r.vec_id: r.centroid for r in via_pandas.collect()}
+    assert a_expr == a_np
+
+
+def test_ivf_topk_pandas_assignment_same_result(spark, emb):
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4)
+    alt = ivf_topk(
+        emb, queries, k=5, num_centroids=8, nprobe=4, assign_method="pandas"
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(base) == rows(alt)
