@@ -186,6 +186,42 @@ def pq_encode(
     )
 
 
+def _query_luts(codebooks, qrows, query_id_col: str = "query_id"):
+    """(query_id, flat M·K LUT) rows for an already-normalized collected
+    query set. LUT[m·K + code] = q_m · codebook_m[code]."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    d0 = len(codebooks[0][0][1])
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r[1]]
+        flat = [0.0] * (M * K)
+        for m, cb in enumerate(codebooks):
+            sub = qv[m * d0 : (m + 1) * d0]
+            for cid, cv in cb:
+                flat[m * K + int(cid)] = sum(a * b for a, b in zip(sub, cv))
+        lut_rows.append((int(r[0]), flat))
+    return lut_rows
+
+
+def _adc_score(codebooks):
+    """ADC score column over (codes, _lut): Σ_m LUT[m·K + codes[m]] — two
+    element_at reads per subspace, fully JVM-side."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.col("_lut"), m * K + F.element_at(F.col("codes"), m + 1) + 1
+            ),
+        ),
+        6,
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks,
@@ -199,42 +235,117 @@ def pq_adc_topk(
     collected once (|Q| is small — the same contract as every ANN query
     path here), each query becomes ONE row ``(query_id, flat M·K LUT)``
     in a broadcast relation, and the corpus-side score is
-    ``Σ_m LUT[m·K + codes[m]]`` — two element_at reads per subspace
+    ``Σ_m LUT[m·K + codes[m]]`` — two ``element_at`` reads per subspace
     inside the JVM. The corpus never shuffles; the only exchange is the
     bounded top-k finalization."""
     spark = codes.sparkSession
-    M = len(codebooks)
-    K = len(codebooks[0])
-    d0 = len(codebooks[0][0][1])
-    # code -> position LUT must follow cid order within each codebook
     qrows = l2_normalize(
         queries.select(query_id_col, vec_col), vec_col
     ).collect()
-    lut_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r[1]]
-        flat = [0.0] * (M * K)
-        for m, cb in enumerate(codebooks):
-            sub = qv[m * d0 : (m + 1) * d0]
-            for cid, cv in cb:
-                flat[m * K + int(cid)] = sum(a * b for a, b in zip(sub, cv))
-        lut_rows.append((int(r[0]), flat))
     luts = spark.createDataFrame(
-        lut_rows, f"{query_id_col} long, _lut array<double>"
+        _query_luts(codebooks, qrows, query_id_col),
+        f"{query_id_col} long, _lut array<double>",
     )
     scored = codes.crossJoin(F.broadcast(luts)).select(
-        query_id_col,
-        id_col,
-        F.round(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(M - 1)),
-                F.lit(0.0),
-                lambda acc, m: acc
-                + F.element_at(
-                    F.col("_lut"), m * K + F.element_at(F.col("codes"), m + 1) + 1
-                ),
-            ),
-            6,
-        ).alias("sim"),
+        query_id_col, id_col, _adc_score(codebooks).alias("sim")
+    )
+    return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)
+
+
+def ivfpq_write(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple:
+    """The full large-scale ANN layout in one write: the corpus is stored
+    as ``(id, codes)`` PARTITIONED BY IVF centroid — FAISS's IVFPQ as a
+    storage property. Returns ``(centroids, codebooks)``; persist both
+    beside the data, they are the index metadata. Queries via
+    :func:`ivfpq_topk_prepartitioned` then (a) prune non-probed centroid
+    directories at scan planning (PartitionFilters) and (b) scan 8-int
+    codes instead of raw vectors — the two cost cuts compose, which is
+    exactly what a 10^10-row corpus needs (probe I/O ≈
+    nprobe/num_centroids × codes_bytes)."""
+    from .similarity import ivf_assign
+
+    assigned, centroids = ivf_assign(
+        corpus,
+        num_centroids=num_centroids,
+        iterations=iterations,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codebooks = pq_train(
+        corpus,
+        num_subspaces=num_subspaces,
+        codes_per_subspace=codes_per_subspace,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    normalized = l2_normalize(
+        assigned.select(id_col, vec_col, "centroid"), vec_col
+    )
+    (
+        normalized.select(
+            id_col,
+            pq_encode_expr(codebooks, F.col(vec_col)).alias("codes"),
+            "centroid",
+        )
+        .repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
+    return centroids, codebooks
+
+
+def ivfpq_topk_prepartitioned(
+    spark,
+    path: str,
+    centroids: list,
+    codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN over an :func:`ivfpq_write` store: partition pruning on the
+    probed centroid set (PartitionFilters — unprobed directories are
+    never read), per-query probe membership re-checked on a broadcast
+    pair relation, ADC scoring over the stored codes. No corpus shuffle;
+    the one exchange is the bounded top-k finalization."""
+    from .similarity import _probe_centroids
+
+    store = spark.read.parquet(path)
+    qrows = l2_normalize(
+        queries.select(query_id_col, vec_col), vec_col
+    ).collect()
+    probe_pairs = [
+        (int(r[0]), int(c))
+        for r in qrows
+        for c in _probe_centroids(centroids, r[1], nprobe)
+    ]
+    probed = sorted({c for _, c in probe_pairs})
+    pruned = store.where(F.col("centroid").isin(probed))
+    pdf = spark.createDataFrame(probe_pairs, f"{query_id_col} long, centroid int")
+    luts = spark.createDataFrame(
+        _query_luts(codebooks, qrows, query_id_col),
+        f"{query_id_col} long, _lut array<double>",
+    )
+    scored = (
+        pruned.join(F.broadcast(pdf), "centroid")
+        .join(F.broadcast(luts), query_id_col)
+        .select(query_id_col, id_col, _adc_score(codebooks).alias("sim"))
     )
     return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)

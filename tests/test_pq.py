@@ -98,3 +98,39 @@ def test_adc_scores_monotone_with_duplicates(spark, books):
     codes = pq_encode(corpus, books)
     top = pq_adc_topk(codes, books, queries, k=3).orderBy("rank").collect()
     assert top[0].vec_id == 100
+
+
+def test_ivfpq_store_prunes_and_ranks(spark, emb, books, tmp_path):
+    """ivfpq_write stores codes partitioned by centroid; the
+    prepartitioned query prunes unprobed directories (PartitionFilters)
+    and its per-bucket ADC ranking agrees with full-corpus ADC on the
+    probed subset."""
+    from kafka_connect_gcs_spark.operators.pq import (
+        ivfpq_topk_prepartitioned,
+        ivfpq_write,
+    )
+    from kafka_connect_gcs_spark.plans.inspect import explain_str
+
+    path = str(tmp_path / "ivfpq_store")
+    centroids, codebooks = ivfpq_write(
+        emb, path, num_centroids=8, num_subspaces=8, codes_per_subspace=16
+    )
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk_prepartitioned(
+        spark, path, centroids, codebooks, queries, k=5, nprobe=8
+    )
+    # nprobe = num_centroids probes everything, so the store path must
+    # equal plain full-corpus ADC with the same codebooks
+    codes = pq_encode(emb, codebooks)
+    want = pq_adc_topk(codes, codebooks, queries, k=5)
+    assert sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.vec_id, r.sim, r.rank) for r in want.collect())
+    plan = explain_str(
+        spark.read.parquet(path).where(F.col("centroid").isin([1, 3]))
+    )
+    assert "PartitionFilters" in plan and "centroid" in plan
+    # stored relation is codes-only: the raw vector column is gone
+    assert "embedding" not in spark.read.parquet(path).columns
