@@ -35,6 +35,9 @@ from kafka_connect_gcs_spark.operators.text import (  # noqa: F401
     words,
     ws_token_count,
 )
+from kafka_connect_gcs_spark.operators.curation import (  # noqa: F401
+    word_ngrams,
+)
 from kafka_connect_gcs_spark.operators.validate import valid_expr  # noqa: F401
 
 __all__ = [
@@ -51,6 +54,7 @@ __all__ = [
     "minhash_signature_of_words",
     "gram_hashes",
     "winnow_from_gram_hashes",
+    "word_ngrams",
     "word_shingles",
     "shingles_of_words",
     "jaccard",
