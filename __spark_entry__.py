@@ -370,13 +370,19 @@ def q_simhash_neardup(spark, sf_dir):
     ALL pairs at Hamming ≤ 3; the engine's pigeonhole block join (4 blocks >
     3 flips) must find exactly the same set — the oracle therefore proves
     both the hash and the blocking recall. Production path (63-bit xxhash64)
-    is timed by bench.py and covered by pytest recall assertions."""
+    is timed by bench.py and covered by pytest recall assertions.
+
+    Signatures come from the numpy fast path (sig_impl='pandas'), proven
+    bit-identical to the Catalyst expression in test_training_ops — the
+    interpreted 60-lane HOF accumulator dominated this query's time."""
     from kafka_connect_gcs_spark.operators.dedup_text import simhash_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("doc_id") < 120
     )
-    return simhash_pairs(d, max_hamming=3, blocks=4, portable=True)
+    return simhash_pairs(
+        d, max_hamming=3, blocks=4, portable=True, sig_impl="pandas"
+    )
 
 
 def q_text_winnow(spark, sf_dir):
@@ -941,6 +947,122 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """Lexical retrieval (operators/search.py, bm25_topk): Lucene-flavored
+    BM25 top-5 per query. Queries are the 4-word prefixes of every 29th
+    document, so each query has a known best answer (its own doc) and the
+    oracle replays idf/tf normalization/rank end-to-end."""
+    from kafka_connect_gcs_spark.operators.search import bm25_topk
+    from kafka_connect_gcs_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        # slice the FILTERED word list — the oracle slices ws, so a doc
+        # with leading/doubled whitespace must yield the same 4 words
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    out = bm25_topk(docs, queries, k=5)
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+#: boilerplate prepended to every 17th doc in q_dup_spans — duplicated into
+#: the oracle SQL below, keep in sync (11 words → with k=8 the stamped docs
+#: share 4+ grams spanning into each doc's own first words only if those
+#: match, so the guaranteed common span is the banner itself)
+_DUP_BANNER = (
+    "subscribe to our newsletter for updates terms of service apply today"
+)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-span detection (operators/dedup_spans.py) — the
+    Lee-et-al substring-dedup pass. Cross-doc duplication is PLANTED: every
+    17th doc gets the same 11-word boilerplate banner prepended (ids offset
+    200000), so known spans exist; the portable gram hash lets DuckDB
+    replay gramming, document frequency, and span merging exactly."""
+    from kafka_connect_gcs_spark.operators.dedup_spans import dup_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    stamped = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit(_DUP_BANNER + " "), F.col("text")).alias("text"),
+    )
+    u = d.select("doc_id", "text").unionByName(stamped)
+    out = dup_span_stats(u, k=8, portable=True)
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-n-gram NB quality classifier (operators/classifier.py):
+    train log-odds weights with label = (lang = 'en'), score the whole
+    corpus. The oracle recomputes buckets (portable md5 mod 2^18),
+    document frequencies, smoothed weights, and the logistic score."""
+    from kafka_connect_gcs_spark.operators.classifier import (
+        classifier_score,
+        nb_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.withColumn("label", F.col("lang") == "en")
+    weights, model = nb_train(
+        labeled, "label", n_buckets=1 << 18, portable=True
+    )
+    return classifier_score(
+        d, weights, model, n_buckets=1 << 18, use_bigrams=True, portable=True
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window splitting (operators/packing.py, chunk_documents):
+    32-word windows with 8-word overlap; the oracle replays the stride
+    arithmetic and slicing. chunk_text is fingerprinted (md5) so the hash
+    check proves content, not just shape."""
+    from kafka_connect_gcs_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, chunk_size=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("chunk_n").cast("long").alias("chunk_n"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-balanced source mixing (operators/sampling.py,
+    temperature_mix, T=3): per-source rates from the in-plan count
+    aggregate, epoch upsampling, portable hash verdicts — the oracle
+    recomputes counts, the q_s distribution, rates, and every keep/drop
+    decision. The corpus's sources are UNIFORM (rate would be exactly 1
+    everywhere), so sources are first folded into skewed tiers
+    (head/mid/tail by numeric suffix) to exercise down- AND up-sampling:
+    the tail tier's rate > 2 proves multi-epoch replication."""
+    from kafka_connect_gcs_spark.operators.sampling import temperature_mix
+
+    k = F.substring("source", 4, 10).cast("int")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(k < 12, F.lit("head"))
+        .when(k < 18, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )
+    out = temperature_mix(
+        d, temperature=3.0, strata_col="tier", seed=5, portable=True
+    )
+    return out.select(
+        "doc_id",
+        "tier",
+        F.round("rate", 6).alias("rate"),
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -998,6 +1120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
+        "bm25_search": q_bm25_search,
+        "dup_spans": q_dup_spans,
+        "quality_classifier": q_quality_classifier,
+        "chunk_documents": q_chunk_documents,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -1736,4 +1863,215 @@ def oracle_sql() -> dict[str, str]:
           FROM pairs JOIN vocab USING (word) CROSS JOIN tot
           GROUP BY doc_id
         """,
+        "bm25_search": _bm25_sql(),
+        "dup_spans": _dup_spans_sql(),
+        "quality_classifier": _classifier_sql(),
+        "chunk_documents": _chunk_sql(),
+        "temperature_mix": _temperature_mix_sql(),
     }
+
+
+def _chunk_sql(chunk: int = 32, overlap: int = 8) -> str:
+    """DuckDB replay of sliding-window chunking: stride arithmetic, chunk
+    counts (windows stop once the doc is covered), 1-based slicing, and
+    the md5 content fingerprint."""
+    stride = chunk - overlap
+    return f"""
+      WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+      c AS (SELECT doc_id, ws,
+                   CASE WHEN len(ws) <= 0 THEN 0
+                        ELSE 1 + greatest(CAST(floor(
+                          (len(ws) - {chunk} + {stride - 1}) / {stride}
+                        ) AS INTEGER), 0)
+                   END AS n_chunks
+            FROM w),
+      x AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id
+            FROM c WHERE n_chunks > 0)
+      SELECT doc_id,
+             chunk_id::BIGINT AS chunk_id,
+             (chunk_id * {stride} + 1)::BIGINT AS start,
+             len(list_slice(ws, chunk_id * {stride} + 1,
+                            chunk_id * {stride} + {chunk}))::BIGINT
+               AS chunk_n,
+             md5(array_to_string(
+               list_slice(ws, chunk_id * {stride} + 1,
+                          chunk_id * {stride} + {chunk}), ' ')) AS chunk_fp
+      FROM x
+    """
+
+
+def _temperature_mix_sql(temperature: float = 3.0, seed: int = 5) -> str:
+    """DuckDB replay of temperature mixing end-to-end: tier fold, counts,
+    the q_s ∝ c^(1/T) distribution, per-tier rates (association matched to
+    Spark's ((tot·(pow/z))/c)), epoch expansion, and every portable-hash
+    keep/drop verdict."""
+    alpha = 1.0 / temperature
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) < 12 THEN 'head'
+                    WHEN CAST(substr(source, 4) AS INTEGER) < 18 THEN 'mid'
+                    ELSE 'tail' END AS tier
+        FROM documents),
+      c AS (SELECT tier, count(*)::BIGINT AS c FROM d GROUP BY tier),
+      t AS (SELECT sum(c)::DOUBLE AS tot,
+                   sum(pow(c::DOUBLE, {alpha!r})) AS z
+            FROM c),
+      r AS (SELECT tier,
+                   ((tot * (pow(c::DOUBLE, {alpha!r}) / z)) / c) AS rate
+            FROM c CROSS JOIN t),
+      j AS (SELECT d.doc_id, d.tier, r.rate,
+                   CAST(floor(r.rate) AS INTEGER) AS n_full,
+                   r.rate - floor(r.rate) AS part,
+                   ('0x' || substr(md5('s{seed}:' || d.tier || '|'
+                      || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS hb
+            FROM d JOIN r USING (tier)),
+      x AS (SELECT doc_id, tier, rate, n_full, part, hb,
+                   unnest(range(0, n_full + 1)) AS epoch FROM j)
+      SELECT doc_id, tier, round(rate, 6) AS rate, epoch::BIGINT AS epoch
+      FROM x WHERE epoch < n_full OR hb < part
+    """
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 5) -> str:
+    """DuckDB replay of the whole BM25 pipeline: postings, query-restricted
+    document frequencies, Lucene idf, length normalization, rounded-score
+    ranking. Float constants are interpolated as Python reprs so both
+    engines parse the IDENTICAL doubles (k1+1 computed driver-side in
+    Spark), and every multiply/divide is parenthesized to match Spark's
+    association order — double ops are single-rounded, so the scores agree
+    bit-for-bit before the shared round(_, 6)."""
+    return f"""
+      WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+      t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM w),
+      tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf, max(dl) AS dl
+             FROM t GROUP BY doc_id, word),
+      st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(ws)) AS avgdl FROM w),
+      qt AS (SELECT doc_id AS query_id,
+                    unnest(list_distinct(list_slice(ws, 1, 4))) AS word
+             FROM w WHERE doc_id % 29 = 0),
+      dfreq AS (SELECT word, count(*)::BIGINT AS df FROM tf
+                WHERE word IN (SELECT word FROM qt) GROUP BY word),
+      sc AS (SELECT qt.query_id, tf.doc_id,
+                    round(sum(
+                      ln(1.0 + ((st.n_docs - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5)))
+                      * ((tf.tf * {k1 + 1.0!r})
+                         / (tf.tf + {k1!r} * ({1.0 - b!r}
+                            + (({b!r} * tf.dl) / st.avgdl))))
+                    ), 6) AS score
+             FROM qt JOIN tf USING (word) JOIN dfreq USING (word)
+                  CROSS JOIN st
+             GROUP BY qt.query_id, tf.doc_id)
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      WHERE rank <= {k}
+    """
+
+
+def _dup_spans_sql(k: int = 8) -> str:
+    """DuckDB replay of duplicated-span detection: the planted-banner
+    union, rolling word-{k}-gram portable hashes with positions,
+    cross-document frequency, and the lag-based span merge (touching
+    windows merge: next start ≤ prev start + k)."""
+    return f"""
+      WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               '{_DUP_BANNER} ' || text AS text
+        FROM documents WHERE doc_id % 17 = 0
+      ),
+      w AS (SELECT doc_id, {_words_sql()} AS ws FROM u),
+      gp AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(array_to_string(
+                  list_slice(ws, pos, pos + {k - 1}), ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws) - {k} + 2)) AS pos
+              FROM w WHERE len(ws) >= {k})
+      ),
+      dup AS (SELECT h FROM gp GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT gp.doc_id, gp.pos FROM gp JOIN dup USING (h)),
+      sp AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER win IS NULL
+                           OR pos > lag(pos) OVER win + {k}
+                         THEN 1 ELSE 0 END AS new_span
+             FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      sp2 AS (SELECT doc_id, pos,
+                     sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS span_id
+              FROM sp),
+      per_span AS (SELECT doc_id, span_id, count(*) AS grams,
+                          max(pos) - min(pos) + {k} AS covered
+                   FROM sp2 GROUP BY doc_id, span_id),
+      per_doc AS (SELECT doc_id, sum(grams) AS n_dup_grams,
+                         count(*) AS n_spans, sum(covered) AS dup_words
+                  FROM per_span GROUP BY doc_id)
+      SELECT w.doc_id,
+             CAST(len(w.ws) AS BIGINT) AS n_words,
+             CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+             CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+             round(CASE WHEN len(w.ws) > 0
+                        THEN CAST(coalesce(p.dup_words, 0) AS BIGINT)
+                             / CAST(len(w.ws) AS INTEGER)
+                        ELSE 0.0 END, 6) AS dup_frac
+      FROM w LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _classifier_sql(n_buckets: int = 1 << 18, a: float = 1.0) -> str:
+    """DuckDB replay of the hashed-NB classifier: portable uni+bi-gram
+    buckets, per-bucket label document frequencies, smoothed log-odds
+    weights, bias, and the logistic score — training AND scoring."""
+    bucket = (
+        "('0x' || substr(md5({g}), 1, 15))::BIGINT % " + str(n_buckets)
+    )
+    uni = bucket.format(g="g")
+    bi = bucket.format(g="ws[i] || ' ' || ws[i + 1]")
+    return f"""
+      WITH w AS (SELECT doc_id, lang, {_words_sql()} AS ws FROM documents),
+      f AS (SELECT doc_id, lang,
+                   list_distinct(
+                     list_transform(ws, g -> {uni})
+                     || list_transform(range(1, len(ws)), i -> {bi})
+                   ) AS buckets
+            FROM w),
+      fx AS (SELECT doc_id, (lang = 'en') AS y, unnest(buckets) AS bucket
+             FROM f),
+      tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                       AS n_pos,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::DOUBLE
+                       AS n_neg
+              FROM documents),
+      pb AS (SELECT bucket,
+                    sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE AS pos_df,
+                    sum(CASE WHEN y THEN 0 ELSE 1 END)::DOUBLE AS neg_df
+             FROM fx GROUP BY bucket),
+      wt AS (SELECT bucket,
+                    ln((pos_df + {a!r}) / (n_pos + {2 * a!r}))
+                    - ln((neg_df + {a!r}) / (n_neg + {2 * a!r})) AS weight
+             FROM pb CROSS JOIN tot),
+      md AS (SELECT ln((n_pos + {a!r}) / (n_neg + {a!r})) AS bias,
+                    ln({a!r} / (n_pos + {2 * a!r}))
+                    - ln({a!r} / (n_neg + {2 * a!r})) AS default_w
+             FROM tot),
+      sc AS (SELECT fx.doc_id, count(*)::BIGINT AS n_feats,
+                    sum(coalesce(wt.weight, md.default_w)) AS s
+             FROM fx LEFT JOIN wt USING (bucket) CROSS JOIN md
+             GROUP BY fx.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+             round(md.bias + coalesce(sc.s, 0.0), 6) AS score,
+             round(1.0 / (1.0 + exp(-(md.bias + coalesce(sc.s, 0.0)))), 6)
+               AS prob
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+           CROSS JOIN md
+    """

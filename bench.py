@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "decontaminate_bench",
     "repetition_stats",
     "unigram_logprob",
+    "bm25_search",
+    "dup_spans",
+    "quality_classifier",
 ]
 
 
@@ -240,6 +243,27 @@ def bench_production_ops(spark) -> dict:
     # count() would let Catalyst prune the winnow column away entirely)
     winnow_fingerprints(d).agg(F.sum(F.size("winnow"))).collect()
     out["text_winnow"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.dedup_spans import dup_span_stats
+
+    t0 = time.time()
+    # force the stats columns (count() alone would prune the span math)
+    dup_span_stats(d, k=8).agg(F.sum("dup_words")).collect()
+    out["dup_spans_prod"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.classifier import (
+        classifier_score,
+        nb_train,
+    )
+
+    docs_lang = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    w8, m8 = nb_train(
+        docs_lang.withColumn("label", F.col("lang") == "en"), "label"
+    )
+    classifier_score(docs_lang, w8, m8, n_buckets=1 << 18, use_bigrams=True,
+                     portable=False).agg(F.sum("prob")).collect()
+    out["quality_classifier_prod"] = round(time.time() - t0, 3)
     return out
 
 

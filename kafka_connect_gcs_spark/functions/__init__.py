@@ -35,6 +35,9 @@ from kafka_connect_gcs_spark.operators.text import (  # noqa: F401
     words,
     ws_token_count,
 )
+from kafka_connect_gcs_spark.operators.classifier import (  # noqa: F401
+    hashed_features,
+)
 from kafka_connect_gcs_spark.operators.curation import (  # noqa: F401
     word_ngrams,
 )
@@ -54,6 +57,7 @@ __all__ = [
     "minhash_signature_of_words",
     "gram_hashes",
     "winnow_from_gram_hashes",
+    "hashed_features",
     "word_ngrams",
     "word_shingles",
     "shingles_of_words",

@@ -1,0 +1,205 @@
+"""Exact duplicated-span detection: cross-document repeated word k-grams.
+
+The "exact substring dedup" pass of Lee et al., *Deduplicating Training
+Data Makes Language Models Better* (2022), re-expressed for Spark: instead
+of a distributed suffix array, roll a k-word-gram hash over every document
+(positions kept), count each gram's document frequency corpus-wide, and
+merge the positions of duplicated grams back into maximal spans per doc.
+
+Beyond the reference's scope (byte-opaque payloads); part of the dedup
+family next to exact/minhash/simhash (operators/dedup_text.py).
+
+Scale shape:
+
+* gram explosion is rows ∝ token volume — the floor for substring-level
+  dedup — and the only corpus-sized shuffle is the ``groupBy(gram_hash)``
+  document-frequency aggregate (partial/map-side combined; the shuffle
+  carries ``(hash, id)`` pairs, never text);
+* marking duplicated positions is a postings⨝dup-hashes join on the hash
+  (dup hashes are usually a small fraction; the join output is bounded by
+  the duplicated-gram postings);
+* span merging is a per-document window (``partitionBy(doc)``) — millions
+  of small groups, no single-key funnel.
+
+Hashes default to ``xxhash64`` (one JVM hash per gram); ``portable=True``
+uses the md5-derived 60-bit value DuckDB reproduces bit-for-bit (the
+oracle replays the whole pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_gcs_spark.operators.text import words
+
+
+def _gram_hash(gram, portable: bool):
+    if portable:
+        return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(gram)
+
+
+def gram_positions(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """``(id, n_words, pos, h)``: 1-based rolling word-k-gram hashes.
+
+    Documents shorter than ``k`` words yield no rows (``sequence(1, n-k+1)``
+    would count DOWN for n < k — Spark sequences are bidirectional — so the
+    gram list is explicitly emptied there).
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), n.alias("n_words"), F.posexplode(grams))
+        .select(
+            id_col,
+            "n_words",
+            (F.col("pos") + 1).alias("pos"),
+            _gram_hash(F.col("col"), portable).alias("h"),
+        )
+    )
+
+
+def duplicated_gram_hashes(
+    gp: DataFrame, id_col: str = "doc_id", min_doc_freq: int = 2
+) -> DataFrame:
+    """Gram hashes appearing in ≥ ``min_doc_freq`` distinct documents.
+
+    One corpus-wide aggregate on the hash; ``count(distinct id)`` runs as
+    the standard two-level partial aggregation (expand + merge), so hot
+    grams (boilerplate) are combined map-side before the exchange.
+    """
+    return (
+        gp.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_doc_freq)
+        .select("h", "n_docs")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    A *span* is a maximal run of duplicated gram start positions whose
+    gram windows overlap or touch (next start ≤ prev start + k); the span
+    covers ``last_start − first_start + k`` words. Returns
+
+    ``(id, n_words, n_dup_grams, n_spans, dup_words, dup_frac)``
+
+    for EVERY input document (docs with no duplicated grams report zeros),
+    ``dup_frac`` rounded to 6 so the DuckDB oracle hashes identically.
+    """
+    gp = gram_positions(df, k=k, text_col=text_col, id_col=id_col, portable=portable)
+    dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
+    marked = gp.join(dup.select("h"), "h").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new_span",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + (k - 1) + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_span_id",
+            F.sum("_new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "_span_id")
+        .agg(
+            F.count("*").alias("_grams"),
+            (F.max("pos") - F.min("pos") + k).alias("_covered"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_grams").alias("n_dup_grams"),
+            F.count("*").alias("n_spans"),
+            F.sum("_covered").alias("dup_words"),
+        )
+    )
+
+    base = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).alias("n_words")
+    )
+    return base.join(spans, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce("dup_words", F.lit(0)) / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop every word covered by a duplicated span and rebuild the text.
+
+    Covered positions are expanded per duplicated gram (bounded: ≤ k rows
+    per gram) and collected per document — per-doc state only, so the
+    operator distributes; the rebuild keeps original word order via an
+    index filter over the word array.
+    """
+    gp = gram_positions(df, k=k, text_col=text_col, id_col=id_col, portable=portable)
+    dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
+    covered = (
+        gp.join(dup.select("h"), "h")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("_covered"))
+    )
+    ws = words(F.col(text_col))
+    kept = F.filter(
+        F.zip_with(
+            ws,
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda w_, i: F.struct(w_.alias("w"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(F.col("_covered"), s["i"]),
+    )
+    return (
+        df.join(covered, id_col, "left")
+        .withColumn("_covered", F.coalesce("_covered", F.array().cast("array<int>")))
+        .withColumn(out_col, F.concat_ws(" ", F.transform(kept, lambda s: s["w"])))
+        .drop("_covered")
+    )

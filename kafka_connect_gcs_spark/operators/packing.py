@@ -177,3 +177,59 @@ def pack_sequences(
     if drop_remainder:
         out = out.where(F.col("n_tok") == L)
     return out.select("seq_id", "tokens", "n_tok", "n_docs")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into ``chunk_size``-word windows advancing by
+    ``chunk_size − overlap`` words — the context-length splitter that runs
+    before packing when documents exceed the model's window (overlap
+    preserves cross-boundary context, RoBERTa/T5 style).
+
+    Returns ``(id, chunk_id, start, chunk_n, chunk_text)``: 0-based
+    ``chunk_id``, 1-based word ``start``, the final chunk short unless the
+    doc length lands on a stride boundary. Zero-word docs emit no rows.
+
+    Map-only Catalyst (sequence → explode → slice): no shuffle at any
+    scale; chunk count per doc is ``1 + ceil(max(0, n−chunk)/stride)``.
+    """
+    from kafka_connect_gcs_spark.operators.text import words
+
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # number of chunks: 1 + ceil((n - chunk_size)/stride) for n > chunk;
+    # integer form: 1 + floor((n - chunk + stride - 1)/stride)
+    extra = F.floor(
+        (n - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(extra, F.lit(0))
+    )
+    out = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    chunk = F.slice(F.col("_ws"), start, chunk_size)
+    return out.select(
+        id_col,
+        "chunk_id",
+        start.alias("start"),
+        F.size(chunk).alias("chunk_n"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

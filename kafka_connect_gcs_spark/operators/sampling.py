@@ -120,6 +120,21 @@ def corpus_mix(
     Map-only ``explode(sequence(...))`` — no shuffle; downstream
     shuffles see only the already-mixed volume."""
     rate = _rate_for(strata_col, weights, default)
+    return _mix_with_rate(df, rate, strata_col, key_col, seed, portable, epoch_col)
+
+
+def _mix_with_rate(
+    df: DataFrame,
+    rate,
+    strata_col: str,
+    key_col: str,
+    seed: int,
+    portable: bool,
+    epoch_col: str,
+) -> DataFrame:
+    """Epoch expansion for an arbitrary per-row rate expression: floor(r)
+    full epochs plus one partial epoch kept with probability r − floor(r).
+    Map-only explode + filter."""
     n_full = F.floor(rate).cast("int")
     part = rate - F.floor(rate)
     out = df.withColumn(
@@ -134,6 +149,56 @@ def corpus_mix(
         < part
     )
     return out.where((F.col(epoch_col) < n_full) | keep_partial)
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    total: "int | None" = None,
+    seed: int = 0,
+    portable: bool = False,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-balanced source mixing (the XLM-R / multilingual-LM
+    recipe): source ``s`` with ``c_s`` docs is drawn with probability
+    ``q_s ∝ (c_s/Σc)^(1/T)``, flattening the source distribution as
+    ``T → ∞`` (T=1 keeps natural proportions). Each source's per-doc rate
+    is ``r_s = total·q_s/c_s`` (``total`` defaults to Σc, i.e. rebalance
+    at constant corpus size); rates > 1 upsample via full epochs exactly
+    like :func:`corpus_mix`.
+
+    The per-source rates are computed IN-PLAN from a metadata-scale
+    aggregate (one row per source) broadcast back onto the corpus — no
+    driver collect, so the operator composes into streaming/incremental
+    plans. Adds ``rate`` and ``epoch`` columns.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    alpha = 1.0 / float(temperature)
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_c"))
+    # q_s = c^α / Σc^α and r_s = total·q_s/c  — all on the tiny counts
+    # relation; the window has ONE partition but only |sources| rows
+    tot = counts.agg(
+        F.sum("_c").alias("_tot"),
+        F.sum(F.pow(F.col("_c").cast("double"), F.lit(alpha))).alias("_z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        (
+            (
+                F.lit(float(total)) if total is not None
+                else F.col("_tot").cast("double")
+            )
+            * (F.pow(F.col("_c").cast("double"), F.lit(alpha)) / F.col("_z"))
+            / F.col("_c")
+        ).alias("rate"),
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    return _mix_with_rate(
+        joined, F.col("rate"), strata_col, key_col, seed, portable, epoch_col
+    )
 
 
 def take_token_budget(

@@ -140,3 +140,90 @@ def test_ann_topk_exchange_is_bounded(spark, sf_dir):
             f"{name}: window exchange consumes the full scored relation:\n"
             + below
         )
+
+
+def test_bm25_query_side_broadcasts(spark, sf_dir):
+    """BM25's scale contract: the corpus postings never re-shuffle for a
+    query batch — query words, per-word df, and corpus stats all arrive by
+    broadcast, and the final top-k exchange consumes the bounded local
+    top-k output (MapInPandas), not the full scored relation."""
+    from kafka_connect_gcs_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    df = bm25_topk(docs, queries, k=5)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("BroadcastExchange") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3, plan
+    lines = plan.splitlines()
+    hits = [
+        j for j, ln in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in ln
+        and "doc_id" not in ln  # the (query_id, doc_id) score agg is fine
+    ]
+    assert len(hits) == 1, f"{len(hits)} query_id-only exchanges"
+    below = "\n".join(lines[hits[0] + 1 : hits[0] + 5])
+    assert "MapInPandas" in below, below
+
+
+def test_dup_span_aggregates_partially_mapside(spark, sf_dir):
+    """The gram document-frequency aggregate (the only corpus-sized
+    shuffle) must partial-aggregate before its exchange, and the plan
+    must contain no Python nodes (pure Catalyst path)."""
+    from kafka_connect_gcs_spark.operators.dedup_spans import (
+        dup_span_stats,
+        duplicated_gram_hashes,
+        gram_positions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = duplicated_gram_hashes(gram_positions(docs, k=8))
+    assert has_partial_aggregate(dup)
+    assert num_python_udf_nodes(dup_span_stats(docs, k=8)) == 0
+
+
+def test_classifier_scoring_broadcasts_weights(spark, sf_dir):
+    """Scoring must broadcast the (bounded-by-n_buckets) weight relation —
+    the corpus side must not shuffle to be scored."""
+    from kafka_connect_gcs_spark.operators.classifier import (
+        classifier_score,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+    weights, model = nb_train(labeled, "label", n_buckets=1 << 16)
+    scored = classifier_score(docs, weights, model)
+    assert has_broadcast_join(scored)
+    assert num_python_udf_nodes(scored) == 0
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """chunk_documents must add ZERO exchanges — pure explode/slice."""
+    from kafka_connect_gcs_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(chunk_documents(docs, 32, 8), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert num_python_udf_nodes(chunk_documents(docs, 32, 8)) == 0
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """The per-source rate relation (|sources| rows) must broadcast back
+    onto the corpus; the only exchanges are the metadata-scale count
+    aggregate's, never a corpus repartition."""
+    from kafka_connect_gcs_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    df = temperature_mix(docs, 3.0)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, mode="simple")
+    # exchanges allowed: the groupBy(source) agg + its 1-row total (and
+    # their broadcasts); the corpus side must not hash-repartition on
+    # anything but the tiny counts relation
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan

@@ -124,6 +124,53 @@ def test_simhash_blocking_is_exhaustive_within_guarantee(spark, docs):
     assert got == truth
 
 
+def test_pandas_simhash_bit_identical_to_expression(spark, docs):
+    """The numpy fast path must emit the EXACT portable signature the
+    Catalyst expression computes — same tokenization, same md5-60-bit
+    word hash, same strict bit-majority."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        simhash_signatures_pandas,
+    )
+
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    expr = {
+        r.doc_id: r.sh
+        for r in sample.select(
+            "doc_id", simhash64(F.col("text"), portable=True).alias("sh")
+        ).collect()
+    }
+    fast = {r.doc_id: r.sh for r in simhash_signatures_pandas(sample).collect()}
+    assert fast == expr
+    # whitespace/empty/case edge docs
+    edge = spark.createDataFrame(
+        [(1, "  Mixed   CASE\twords\nhere  "), (2, ""), (3, "   "), (4, "one")],
+        ["doc_id", "text"],
+    )
+    e = {
+        r.doc_id: r.sh
+        for r in edge.select(
+            "doc_id", simhash64(F.col("text"), portable=True).alias("sh")
+        ).collect()
+    }
+    f = {r.doc_id: r.sh for r in simhash_signatures_pandas(edge).collect()}
+    assert f == e
+
+
+def test_simhash_pairs_pandas_impl_same_pairs(spark, docs):
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(sample, max_hamming=3, portable=True).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            sample, max_hamming=3, portable=True, sig_impl="pandas"
+        ).collect()
+    }
+    assert fast == base
+
+
 def test_cosine_matches_duckdb(spark, emb, sf_dir):
     got = {
         r.vec_id: r.sim
