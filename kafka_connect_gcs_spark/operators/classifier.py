@@ -89,8 +89,11 @@ def nb_train(
       default to the EXACT train-time featurization (mismatched bucket
       spaces silently mis-score every document).
     """
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
     a = float(smoothing)
-    feats = df.select(
+    # featurization (hash per gram) dominates — spread a few-file input
+    feats = spread_small_input(df).select(
         F.col(id_col),
         F.col(label_col).cast("boolean").alias("_y"),
         F.explode(
@@ -163,7 +166,9 @@ def classifier_score(
         n_buckets = cfg["n_buckets"] if n_buckets is None else n_buckets
         use_bigrams = cfg["use_bigrams"] if use_bigrams is None else use_bigrams
         portable = cfg["portable"] if portable is None else portable
-    feats = df.select(
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    feats = spread_small_input(df).select(
         F.col(id_col),
         F.explode(
             hashed_features(

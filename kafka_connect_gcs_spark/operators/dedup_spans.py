@@ -53,6 +53,8 @@ def gram_positions(
     would count DOWN for n < k — Spark sequences are bidirectional — so the
     gram list is explicitly emptied there).
     """
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
     ws = words(F.col(text_col))
     n = F.size(ws)
     grams = F.when(
@@ -62,8 +64,11 @@ def gram_positions(
             lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # gramming+hashing is the dominant, embarrassingly-parallel cost —
+    # don't let a one-file input serialize it on one core
     return (
-        df.select(F.col(id_col), n.alias("n_words"), F.posexplode(grams))
+        spread_small_input(df)
+        .select(F.col(id_col), n.alias("n_words"), F.posexplode(grams))
         .select(
             id_col,
             "n_words",

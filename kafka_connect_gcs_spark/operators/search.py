@@ -44,8 +44,11 @@ def doc_term_freqs(
     doc so ``max`` folds it through the same aggregate (no second shuffle
     and no postings⨝lengths join).
     """
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
     ws = words(F.col(text_col))
-    exploded = df.select(
+    # tokenization is the dominant map cost — spread a few-file input
+    exploded = spread_small_input(df).select(
         F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("word")
     )
     return exploded.groupBy(id_col, "word").agg(
