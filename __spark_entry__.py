@@ -1063,6 +1063,84 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join (operators/asof.py, interval_join): 'error'
+    events matched into the day-gap view-session of the same user that
+    contains them. The engine's banded equi-join (bucket explode + filter)
+    must produce EXACTLY the rows of the oracle's naive BETWEEN join —
+    a hash match proves the banding loses nothing and duplicates nothing."""
+    from kafka_connect_gcs_spark.operators.asof import interval_join, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    s = sessionize(views, key="user_id", ts="ts", gap_seconds=86400)
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(
+        errors, sess, point_ts="ts", start_ts="start", end_ts="end",
+        on=["user_id"], bucket_seconds=86400,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.unix_timestamp("start").alias("start_s"),
+        F.unix_timestamp("end").alias("end_s"),
+    )
+
+
+def q_tokenize_encode(spark, sf_dir):
+    """Closed-vocab tokenizer (operators/tokenizer.py): build a vocabulary
+    from the corpus (char block + top-500 pieces by frequency), encode
+    every document to token ids with char fallback. The oracle replays
+    pretokenization, vocab construction (including id assignment order),
+    and the full encode — token arrays compare value-exact via the
+    concat_ws convention."""
+    from kafka_connect_gcs_spark.operators.tokenizer import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, size=500, min_count=2)
+    out = encode_tokens(d, vocab)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias(
+            "tokens_str"
+        ),
+    )
+
+
+def q_quality_gate(spark, sf_dir):
+    """The whole curation funnel as ONE map-only projection
+    (operators/curation.py, quality_gate): length bounds + Gopher
+    repetition + PII + heuristic quality + language allow-list, emitting
+    keep/reasons per doc. The oracle recomputes every rule and the sorted
+    reason list."""
+    from kafka_connect_gcs_spark.operators.curation import quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_gate(
+        d,
+        min_words=20,
+        max_words=5000,
+        max_pii=0,
+        min_quality=0.5,
+        allowed_langs=("en",),
+    )
+    return out.select(
+        "doc_id", "keep", F.concat_ws(",", "reasons").alias("reasons")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1125,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "chunk_documents": q_chunk_documents,
         "temperature_mix": q_temperature_mix,
+        "interval_join": q_interval_join,
+        "tokenize_encode": q_tokenize_encode,
+        "quality_gate": q_quality_gate,
     }
 
 
@@ -1868,7 +1949,220 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _classifier_sql(),
         "chunk_documents": _chunk_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "interval_join": """
+          WITH v AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'view'
+          ),
+          o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 86400 SECONDS
+                        THEN 1 ELSE 0 END AS ns
+            FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          ),
+          s AS (
+            SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) - 1
+                           AS BIGINT) AS session_id
+            FROM o
+          ),
+          sess AS (
+            SELECT user_id, session_id,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM s GROUP BY 1, 2
+          ),
+          e AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'
+          )
+          SELECT e.event_id, e.user_id, sess.session_id,
+                 CAST(floor(epoch(sess.s_start)) AS BIGINT) AS start_s,
+                 CAST(floor(epoch(sess.s_end)) AS BIGINT) AS end_s
+          FROM e JOIN sess
+            ON e.user_id = sess.user_id
+           AND e.ts >= sess.s_start AND e.ts <= sess.s_end
+        """,
+        "tokenize_encode": _tokenize_sql(),
+        "quality_gate": _quality_gate_sql(),
     }
+
+
+def _quality_gate_sql() -> str:
+    """DuckDB replay of the one-scan curation funnel: every rule column
+    (length / Gopher repetition / PII / quality / lang allow-list) and the
+    sorted failed-rule list. Thresholds mirror q_quality_gate."""
+    from kafka_connect_gcs_spark.operators.curation import PII_PATTERNS
+
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, text, lang, {_words_sql()} AS ws
+                 FROM documents),
+      g AS (
+        SELECT doc_id, ws,
+               list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                 i -> ws[i] || ' ' || ws[i+1]) AS g2,
+               list_transform(range(1, greatest(len(ws)-2, 0)+1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        FROM w
+      ),
+      t2 AS (
+        SELECT doc_id, max(c) AS mx, sum(c) AS tot
+        FROM (SELECT doc_id, gram, count(*) AS c
+              FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+              GROUP BY doc_id, gram)
+        GROUP BY doc_id
+      ),
+      t3 AS (
+        SELECT doc_id, max(c) AS mx, sum(c) AS tot
+        FROM (SELECT doc_id, gram, count(*) AS c
+              FROM (SELECT doc_id, unnest(g3) AS gram FROM g)
+              GROUP BY doc_id, gram)
+        GROUP BY doc_id
+      ),
+      rep AS (
+        SELECT g.doc_id,
+               round(CASE WHEN len(g.ws) > 0
+                     THEN 1.0 - len(list_distinct(g.ws))
+                          / CAST(len(g.ws) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_word_frac,
+               round(coalesce(t2.mx / CAST(t2.tot AS DOUBLE), 0.0), 6)
+                 AS top2,
+               round(coalesce(t3.mx / CAST(t3.tot AS DOUBLE), 0.0), 6)
+                 AS top3
+        FROM g LEFT JOIN t2 ON g.doc_id = t2.doc_id
+               LEFT JOIN t3 ON g.doc_id = t3.doc_id
+      ),
+      q AS (
+        SELECT w.doc_id,
+               round((least(length(text) / 200.0, 1.0)
+                 + (1.0 - least(
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text,
+                               '[^A-Za-z0-9\\s]'))
+                               / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END * 4.0, 1.0))
+                 + CASE WHEN (CASE WHEN len(ws) > 0
+                       THEN list_aggregate(
+                              list_transform(ws, x -> length(x)), 'sum')
+                            / CAST(len(ws) AS DOUBLE) ELSE 0.0 END)
+                       BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END
+               ) / 3.0, 6) AS quality
+        FROM w
+      ),
+      lid AS (
+        SELECT doc_id, {_lang_scores_sql()} FROM w
+      ),
+      lg AS (
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_guess
+        FROM lid
+      ),
+      pii AS (SELECT doc_id, {pii_sum} AS n_pii FROM documents),
+      r AS (
+        SELECT w.doc_id,
+               list_filter([
+                 CASE WHEN len(w.ws) < 20 THEN 'too_short' END,
+                 CASE WHEN len(w.ws) > 5000 THEN 'too_long' END,
+                 CASE WHEN rep.dup_word_frac > 0.6 OR rep.top2 > 0.2
+                           OR rep.top3 > 0.18 THEN 'repetitive' END,
+                 CASE WHEN pii.n_pii > 0 THEN 'pii' END,
+                 CASE WHEN q.quality < 0.5 THEN 'low_quality' END,
+                 CASE WHEN lg.lang_guess NOT IN ('en') THEN 'lang' END
+               ], x -> x IS NOT NULL) AS rs
+        FROM w JOIN rep USING (doc_id) JOIN q USING (doc_id)
+               JOIN lg USING (doc_id) JOIN pii USING (doc_id)
+      )
+      SELECT doc_id, len(rs) = 0 AS keep,
+             coalesce(array_to_string(list_sort(rs), ','), '') AS reasons
+      FROM r
+    """
+
+
+def _tokenize_sql(size: int = 500, min_count: int = 2) -> str:
+    """DuckDB replay of the closed-vocab tokenizer end-to-end: GPT-2-style
+    pretokenization, char-block + top-K vocabulary with deterministic id
+    assignment, broadcast-shape encode with char fallback, ordered
+    per-doc reassembly."""
+    from kafka_connect_gcs_spark.operators.text import BPE_PIECE_RE
+
+    re_sql = BPE_PIECE_RE.replace("'", "''")
+    return f"""
+      WITH raw AS (
+        SELECT doc_id, regexp_extract_all(text, '{re_sql}') AS pieces
+        FROM documents
+      ),
+      p AS (
+        SELECT doc_id, unnest(range(1, len(pieces) + 1)) AS pos, pieces
+        FROM raw
+      ),
+      pp AS (SELECT doc_id, pos, pieces[pos] AS piece FROM p),
+      counts AS (SELECT piece, count(*) AS cnt FROM pp GROUP BY piece),
+      chars AS (
+        SELECT DISTINCT unnest(list_transform(
+          range(1, length(piece) + 1), i -> substr(piece, i, 1))) AS piece
+        FROM pp
+      ),
+      char_vocab AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY piece) - 1 AS INTEGER) AS id
+        FROM chars
+      ),
+      top AS (
+        SELECT piece FROM counts
+        WHERE cnt >= {min_count} AND length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT {size}
+      ),
+      nch AS (SELECT count(*) AS n FROM char_vocab),
+      piece_vocab AS (
+        SELECT t.piece,
+               CAST(row_number() OVER (
+                 ORDER BY c.cnt DESC, t.piece ASC) - 1 + nch.n AS INTEGER)
+                 AS id
+        FROM top t JOIN counts c USING (piece) CROSS JOIN nch
+      ),
+      vocab AS (
+        SELECT piece, id FROM char_vocab
+        UNION ALL SELECT piece, id FROM piece_vocab
+      ),
+      hit AS (
+        SELECT pp.doc_id, pp.pos, pp.piece, v.id
+        FROM pp LEFT JOIN vocab v USING (piece)
+      ),
+      known AS (
+        SELECT doc_id, pos, 0 AS sub, id AS tok FROM hit
+        WHERE id IS NOT NULL
+      ),
+      oov AS (
+        SELECT h.doc_id, h.pos, u.sub, v.id AS tok
+        FROM (SELECT doc_id, pos, piece FROM hit WHERE id IS NULL) h,
+             LATERAL (
+               SELECT unnest(range(1, length(h.piece) + 1)) AS sub,
+                      unnest(list_transform(
+                        range(1, length(h.piece) + 1),
+                        i -> substr(h.piece, i, 1))) AS u
+             ) u
+             JOIN vocab v ON v.piece = u.u
+      ),
+      units AS (SELECT * FROM known UNION ALL SELECT * FROM oov),
+      assembled AS (
+        SELECT doc_id,
+               list(tok ORDER BY pos, sub, tok) AS toks
+        FROM units GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_tok,
+             coalesce(array_to_string(a.toks, ','), '') AS tokens_str
+      FROM documents d LEFT JOIN assembled a USING (doc_id)
+    """
 
 
 def _chunk_sql(chunk: int = 32, overlap: int = 8) -> str:

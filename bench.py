@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "dup_spans",
     "quality_classifier",
+    "tokenize_encode",
+    "interval_join",
 ]
 
 
@@ -288,14 +290,16 @@ def _replicated_corpus(spark, replicas: int, start: int = 0):
 def bench_ops(spark, work_dir: str) -> dict:
     """Scaling segment for the newest training ops (pack_sequences +
     incremental index dedup), run by bench_scaling.py at two parallelism
-    levels for the north-rule efficiency evidence. Three timed phases:
+    levels for the north-rule efficiency evidence. Four timed phases:
 
     * pack_sequences over ~R×5k docs tokenized JVM-side (global
       exclusive-prefix-sum + chunk reassembly);
     * minhash index BUILD over the same corpus (the amortized
       corpus-scale cost);
     * a PROBE of a 10%-sized new batch against the stored index (the
-      per-micro-batch cost ∝ batch)."""
+      per-micro-batch cost ∝ batch);
+    * duplicated-span stats over the replicated corpus (every gram
+      duplicated R ways — substring dedup's worst case)."""
     from pyspark.sql import functions as F
 
     from kafka_connect_gcs_spark.operators.dedup_index import (
@@ -325,6 +329,14 @@ def bench_ops(spark, work_dir: str) -> dict:
     t0 = time.time()
     dedup_against_index(batch, idx, threshold=0.5).count()
     out["dedup_incremental_probe"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.dedup_spans import dup_span_stats
+
+    t0 = time.time()
+    # sum forces the span aggregates (count() would let Catalyst eliminate
+    # the unique-keyed left join and skip the whole span subtree)
+    dup_span_stats(corpus, k=8).agg(F.sum("dup_words")).collect()
+    out["dup_spans"] = round(time.time() - t0, 3)
     return out
 
 

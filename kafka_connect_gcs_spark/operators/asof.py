@@ -103,3 +103,66 @@ def sessionize(
     ).cast("long")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(new_sess).over(w_run) - 1)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: "list[str] | None" = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each point row matched to every interval row
+    with ``start_ts <= point_ts <= end_ts`` (and equal ``on`` keys, if
+    given) — the time-containment join Spark has no built-in for.
+
+    A naive ``points.join(intervals, pt BETWEEN ...)`` plans as a
+    broadcast-nested-loop or cartesian product — dead at scale. Instead,
+    time is banded into ``bucket_seconds`` chunks: a point carries its one
+    bucket, an interval explodes into the buckets it touches, and the
+    match becomes an EQUI-join on (keys…, bucket) + a containment filter.
+    Each qualifying (point, interval) pair is produced exactly once (the
+    point lives in exactly one bucket), so no dedup pass is needed.
+
+    Pick ``bucket_seconds`` near the typical interval length: the explode
+    emits ``⌈len/bucket⌉ + 1`` rows per interval, while too-coarse buckets
+    inflate the join's false-positive band. Intervals with
+    ``end < start`` match nothing. ``how`` is ``inner`` or ``left_points``
+    (keep unmatched points with null interval columns).
+    """
+    if how not in ("inner", "left_points"):
+        raise ValueError("how must be 'inner' or 'left_points'")
+    keys = list(on or [])
+    w = int(bucket_seconds)
+    if w <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    p = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / w)
+    )
+    i = intervals.withColumn(
+        "_buckets",
+        F.when(
+            F.col(end_ts) >= F.col(start_ts),
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / w),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / w),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+
+    joined = p.join(i, keys + ["_bucket"], "inner").where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    if how == "inner":
+        return joined.drop("_bucket")
+    matched = joined.drop("_bucket")
+    unmatched = points.join(
+        matched.select(*points.columns).dropDuplicates(points.columns),
+        points.columns,
+        "left_anti",
+    )
+    return matched.unionByName(unmatched, allowMissingColumns=True)

@@ -51,15 +51,19 @@ def hashed_features(
     if not use_bigrams:
         return F.array_distinct(uni)
     n = F.size(ws)
-    bi = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: bucket(
-                F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # pair adjacent words via zip_with(ws, shift(ws)) — an element_at(ws, i)
+    # inside the lambda would re-tokenize the doc per bigram (interpreted
+    # HOFs re-evaluate lambda-body expressions per element); zip_with's
+    # array arguments are evaluated once per row. The zipped tail pair
+    # (last word, null) is sliced off.
+    zipped = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(1))),
+        lambda a, b: bucket(F.concat_ws(" ", a, b)),
+    )
+    bi = F.when(n >= 2, F.slice(zipped, 1, n - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
     return F.array_distinct(F.concat(uni, bi))
 
 

@@ -274,3 +274,81 @@ def pii_redact(
     for pat in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, replacement)
     return df.withColumn(text_col, c)
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100000,
+    max_dup_word_frac: float = 0.6,
+    max_top2_frac: float = 0.2,
+    max_top3_frac: float = 0.18,
+    max_pii: int = 0,
+    min_quality: float = 0.4,
+    allowed_langs: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """The whole pre-dedup curation funnel as ONE map-only projection:
+    length bounds, Gopher repetition rules, PII count, heuristic quality
+    score, and language allow-list, each a named rule. Returns every input
+    row with ``(keep boolean, reasons array<string>)`` — ``reasons`` lists
+    the rules that failed, sorted, empty when kept.
+
+    Composing the individual operators via joins would shuffle per signal;
+    since every signal is a Catalyst expression over the row, the gate is
+    a single corpus scan at any scale (and each rule column stays
+    individually testable through the underlying operators).
+    """
+    from kafka_connect_gcs_spark.operators.text import lang_guess, quality_score
+
+    c = F.col(text_col)
+    ws = words(c)
+    staged = df.select(
+        "*",
+        ws.alias("_ws"),
+    ).select(
+        "*",
+        word_ngrams(F.col("_ws"), 2).alias("_g2"),
+        word_ngrams(F.col("_ws"), 3).alias("_g3"),
+    )
+    n = F.size("_ws")
+    dup_word = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct("_ws")) / n
+    ).otherwise(F.lit(0.0))
+    pii_total = None
+    for pat in PII_PATTERNS.values():
+        cnt = F.regexp_count(c, F.lit(pat))
+        pii_total = cnt if pii_total is None else pii_total + cnt
+
+    rules = [
+        ("too_short", n < min_words),
+        ("too_long", n > max_words),
+        (
+            "repetitive",
+            (F.round(dup_word, 6) > max_dup_word_frac)
+            | (F.round(_max_run_frac(F.col("_g2")), 6) > max_top2_frac)
+            | (F.round(_max_run_frac(F.col("_g3")), 6) > max_top3_frac),
+        ),
+        ("pii", pii_total > max_pii),
+        ("low_quality", quality_score(c) < min_quality),
+    ]
+    if allowed_langs is not None:
+        rules.append(("lang", ~lang_guess(c).isin(list(allowed_langs))))
+
+    reasons = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.when(failed, F.lit(name)).otherwise(F.lit(None))
+                    for name, failed in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        staged.withColumn("reasons", reasons)
+        .withColumn("keep", F.size("reasons") == 0)
+        .drop("_ws", "_g2", "_g3")
+    )

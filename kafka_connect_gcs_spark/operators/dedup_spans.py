@@ -55,7 +55,14 @@ def gram_positions(
     """
     from kafka_connect_gcs_spark.operators.util import spread_small_input
 
-    ws = words(F.col(text_col))
+    # STAGE the word array as a column before the gram lambda touches it:
+    # interpreted HOFs re-evaluate expressions inside the lambda body per
+    # element, so an inlined words(text) would re-tokenize the whole doc
+    # once PER GRAM — O(words²) per doc (the winnow/minhash staging fix)
+    staged = spread_small_input(df).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
     n = F.size(ws)
     grams = F.when(
         n >= k,
@@ -65,9 +72,9 @@ def gram_positions(
         ),
     ).otherwise(F.array().cast("array<string>"))
     # gramming+hashing is the dominant, embarrassingly-parallel cost —
-    # don't let a one-file input serialize it on one core
+    # spread_small_input above keeps a one-file input off a single core
     return (
-        spread_small_input(df)
+        staged
         .select(F.col(id_col), n.alias("n_words"), F.posexplode(grams))
         .select(
             id_col,
@@ -114,7 +121,16 @@ def dup_span_stats(
     for EVERY input document (docs with no duplicated grams report zeros),
     ``dup_frac`` rounded to 6 so the DuckDB oracle hashes identically.
     """
-    gp = gram_positions(df, k=k, text_col=text_col, id_col=id_col, portable=portable)
+    from pyspark import StorageLevel
+
+    # the gram explode + hash is the dominant cost and feeds BOTH the
+    # document-frequency aggregate and the position join — persist the
+    # narrow (id, pos, h) rows so it runs once (the minhash pipeline's
+    # persisted-signature-pass pattern; relies on LRU eviction like
+    # dedup_text does)
+    gp = gram_positions(
+        df, k=k, text_col=text_col, id_col=id_col, portable=portable
+    ).select(id_col, "pos", "h").persist(StorageLevel.MEMORY_AND_DISK)
     dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
     marked = gp.join(dup.select("h"), "h").select(id_col, "pos")
 
@@ -182,7 +198,11 @@ def remove_dup_spans(
     operator distributes; the rebuild keeps original word order via an
     index filter over the word array.
     """
-    gp = gram_positions(df, k=k, text_col=text_col, id_col=id_col, portable=portable)
+    from pyspark import StorageLevel
+
+    gp = gram_positions(
+        df, k=k, text_col=text_col, id_col=id_col, portable=portable
+    ).select(id_col, "pos", "h").persist(StorageLevel.MEMORY_AND_DISK)
     dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
     covered = (
         gp.join(dup.select("h"), "h")

@@ -167,3 +167,57 @@ def test_pii_patterns_are_re2_safe():
     # the oracle runs these under DuckDB's RE2 — no backrefs/lookaround
     for pat in PII_PATTERNS.values():
         assert "(?=" not in pat and "(?!" not in pat and "\\1" not in pat
+
+
+def test_quality_gate_rules_and_reasons(spark):
+    from kafka_connect_gcs_spark.operators.curation import quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and keeps "
+                "going with a clear and rather long account of events that "
+                "is written in plain english and reads naturally through "
+                "the end of the paragraph with enough words to pass"),
+            (2, "short doc"),                              # too_short
+            (3, "the " + "spam spam spam " * 40),          # repetitive
+            (4, "the contact is user@example.org and the message goes on "
+                "with enough additional words to stay above the length "
+                "floor while still containing that address and the usual "
+                "clear english filler text to pass other rules here"),  # pii
+            (5, "der und das ist nicht mit der und das ist nicht mit der "
+                "und wieder der und das ist nicht mit noch einmal der und "
+                "das ist nicht mit der und das ist ein text"),  # lang (de)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            docs, min_words=20, allowed_langs=("en",)
+        ).collect()
+    }
+    assert out[1]["keep"] and list(out[1]["reasons"]) == []
+    assert "too_short" in out[2]["reasons"] and not out[2]["keep"]
+    assert "repetitive" in out[3]["reasons"]
+    assert "pii" in out[4]["reasons"]
+    assert "lang" in out[5]["reasons"]
+    # reasons are sorted
+    for r in out.values():
+        rs = list(r["reasons"])
+        assert rs == sorted(rs)
+    # original columns survive the gate
+    assert out[1]["text"].startswith("the quick")
+
+
+def test_quality_gate_is_one_scan(spark, sf_dir):
+    from kafka_connect_gcs_spark.operators.curation import quality_gate
+    from kafka_connect_gcs_spark.plans.inspect import (
+        explain_str,
+        num_python_udf_nodes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = quality_gate(docs, allowed_langs=("en", "de"))
+    plan = explain_str(df, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert num_python_udf_nodes(df) == 0

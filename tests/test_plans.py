@@ -227,3 +227,43 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
     # their broadcasts); the corpus side must not hash-repartition on
     # anything but the tiny counts relation
     assert "Exchange hashpartitioning(doc_id" not in plan, plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The banded interval join must plan as an equi-join on (key, bucket)
+    — never a BroadcastNestedLoopJoin/CartesianProduct over the raw
+    containment predicate."""
+    from kafka_connect_gcs_spark.operators.asof import interval_join, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    sess = (
+        sessionize(views, key="user_id", ts="ts", gap_seconds=86400)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    df = interval_join(errors, sess, "ts", "start", "end", on=["user_id"])
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bucket" in plan  # the equi-key actually participates
+
+
+def test_tokenizer_encode_broadcasts_vocab(spark, sf_dir):
+    """encode_tokens joins the corpus against a BROADCAST vocab (bounded
+    artifact); the only wide exchange is the per-doc reassembly."""
+    from kafka_connect_gcs_spark.operators.tokenizer import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, size=100, min_count=2)
+    enc = encode_tokens(docs, vocab)
+    assert has_broadcast_join(enc)
+    assert num_python_udf_nodes(enc) == 0
