@@ -150,3 +150,41 @@ def encode_tokens(
         F.coalesce(out_col, F.array().cast("array<int>")).alias(out_col),
         F.coalesce(F.size(out_col), F.lit(0)).cast("long").alias("n_tok"),
     )
+
+
+def decode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Inverse of :func:`encode_tokens`: ids → concatenated piece text.
+
+    Round-trips exactly (``decode(encode(text)) == ''.join(pieces)``) when
+    every piece was in-vocabulary at encode time (e.g. a vocab built with
+    ``min_count=1`` over the same corpus); char-fallback encodes decode to
+    the same characters, so the text is still reconstructed — unknown IDS
+    (never produced by encode) decode to nothing.
+
+    Same scale shape as encode: one explode ∝ token volume, one broadcast
+    vocab join, one doc-id shuffle to reassemble.
+    """
+    v = vocab.select(F.col("id").alias("tok"), "piece")
+    units = df.select(
+        F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "tok")
+    )
+    joined = units.join(F.broadcast(v), "tok", "inner")
+    assembled = joined.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                lambda s: s["piece"],
+            ),
+        ).alias(out_col)
+    )
+    base = df.select(F.col(id_col))
+    return base.join(assembled, id_col, "left").select(
+        id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
+    )

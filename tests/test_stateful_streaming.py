@@ -149,3 +149,46 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         if k not in final or cand > final[k]:
             final[k] = cand
     assert final == want
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """quality_gate is one stateless projection, so it composes into
+    Structured Streaming unchanged — the streamed verdicts must equal the
+    batch ones row-for-row (the curation funnel can run inside the ingest
+    micro-batch instead of as a separate pass)."""
+    import shutil
+
+    from kafka_connect_gcs_spark.operators.curation import quality_gate
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["keep"], tuple(r["reasons"]))
+        for r in quality_gate(batch, allowed_langs=("en",)).select(
+            "doc_id", "keep", "reasons"
+        ).collect()
+    }
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src_dir / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = quality_gate(stream, allowed_langs=("en",)).select(
+        "doc_id", "keep", "reasons"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_qg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["keep"], tuple(r["reasons"]))
+        for r in spark.sql("select * from qgate").collect()
+    }
+    assert got == want

@@ -86,3 +86,44 @@ def test_encode_on_corpus_roundtrip_chars(spark, sf_dir):
     assert enc.where(F.col("tokens").isNull()).count() == 0
     assert enc.agg(F.sum("n_tok")).first()[0] > 0
     assert enc.count() == docs.count()
+
+
+def test_decode_round_trip(docs):
+    from kafka_connect_gcs_spark.operators.tokenizer import decode_tokens
+
+    vocab = build_vocab(docs, size=100, min_count=1)
+    enc = encode_tokens(docs, vocab)
+    dec = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_tokens(enc, vocab).collect()
+    }
+    import re
+
+    rx = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+    for doc_id, text in CORPUS:
+        assert dec[doc_id] == "".join(rx.findall(text)), doc_id
+
+
+def test_decode_round_trip_on_corpus(spark, sf_dir):
+    """Property over the real corpus: with a min_count=1 vocab (every
+    piece in-vocab) decode∘encode reproduces the pretokenized text for
+    EVERY document."""
+    from kafka_connect_gcs_spark.operators.tokenizer import decode_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, size=1 << 20, min_count=1)
+    enc = encode_tokens(docs, vocab)
+    dec = decode_tokens(enc, vocab)
+    truth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"),
+                F.lit(0),
+            ),
+        ).alias("expect"),
+    )
+    bad = dec.join(truth, "doc_id").where(F.col("decoded") != F.col("expect"))
+    assert bad.count() == 0
