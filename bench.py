@@ -282,9 +282,13 @@ def _replicated_corpus(spark, replicas: int, start: int = 0):
     reps = spark.range(start, start + replicas).select(
         F.col("id").alias("_rep")
     )
-    return docs.crossJoin(reps).select(
+    out = docs.crossJoin(reps).select(
         F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
     )
+    # the broadcast cross join inherits the ONE-file parquet's single
+    # partition — every downstream op without an internal spread would
+    # run serially at any core count, inverting the scaling measurement
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def bench_ops(spark, work_dir: str) -> dict:

@@ -114,6 +114,7 @@ def interval_join(
     on: "list[str] | None" = None,
     bucket_seconds: int = 3600,
     how: str = "inner",
+    point_key: "str | None" = None,
 ) -> DataFrame:
     """Point-in-interval join: each point row matched to every interval row
     with ``start_ts <= point_ts <= end_ts`` (and equal ``on`` keys, if
@@ -131,10 +132,15 @@ def interval_join(
     emits ``⌈len/bucket⌉ + 1`` rows per interval, while too-coarse buckets
     inflate the join's false-positive band. Intervals with
     ``end < start`` match nothing. ``how`` is ``inner`` or ``left_points``
-    (keep unmatched points with null interval columns).
+    (keep unmatched points with null interval columns); ``left_points``
+    requires ``point_key``, a UNIQUE point id used for the unmatched
+    anti-join — joining on all point columns instead would silently
+    duplicate rows whose float columns hold NaN (NaN ≠ NaN in SQL).
     """
     if how not in ("inner", "left_points"):
         raise ValueError("how must be 'inner' or 'left_points'")
+    if how == "left_points" and not point_key:
+        raise ValueError("left_points requires point_key (a unique point id)")
     keys = list(on or [])
     w = int(bucket_seconds)
     if w <= 0:
@@ -161,8 +167,6 @@ def interval_join(
         return joined.drop("_bucket")
     matched = joined.drop("_bucket")
     unmatched = points.join(
-        matched.select(*points.columns).dropDuplicates(points.columns),
-        points.columns,
-        "left_anti",
+        matched.select(point_key).distinct(), [point_key], "left_anti"
     )
     return matched.unionByName(unmatched, allowMissingColumns=True)

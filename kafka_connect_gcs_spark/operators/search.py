@@ -94,6 +94,8 @@ def bm25_topk(
 
     # postings restricted to the query vocabulary — reused for both the
     # df aggregate and the scoring join, so keep the narrow rows around
+    # (relies on LRU eviction rather than explicit unpersist, like the
+    # dedup_text signature pass: the relation is narrow and query-bounded)
     hit = postings.join(F.broadcast(qwords), "word").persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -56,7 +56,7 @@ def test_left_points_keeps_unmatched(tiny):
     points, intervals = tiny
     out = interval_join(
         points, intervals, "pt", "ivl_start", "ivl_end",
-        on=["k"], bucket_seconds=3600, how="left_points",
+        on=["k"], bucket_seconds=3600, how="left_points", point_key="pid",
     )
     rows = {r["pid"]: r["iid"] for r in out.collect()}
     assert rows[4] is None and rows[1] == 100
@@ -86,6 +86,10 @@ def test_rejects_bad_args(tiny):
     with pytest.raises(ValueError):
         interval_join(
             points, intervals, "pt", "ivl_start", "ivl_end", bucket_seconds=0
+        )
+    with pytest.raises(ValueError):
+        interval_join(
+            points, intervals, "pt", "ivl_start", "ivl_end", how="left_points"
         )
 
 
