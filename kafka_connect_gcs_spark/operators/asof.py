@@ -19,7 +19,7 @@ operators" rule: composition first, Pandas UDF only if semantics demand).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,6 +136,12 @@ def interval_join(
     requires ``point_key``, a UNIQUE point id used for the unmatched
     anti-join — joining on all point columns instead would silently
     duplicate rows whose float columns hold NaN (NaN ≠ NaN in SQL).
+
+    The three ts columns may be timestamp/date (bucketed on epoch
+    seconds) or numeric (epoch seconds / any monotone numeric axis,
+    used directly). Anything else — notably STRING timestamps, where an
+    implicit ``unix_timestamp`` parse would silently yield NULL buckets
+    and an empty join — is rejected up front.
     """
     if how not in ("inner", "left_points"):
         raise ValueError("how must be 'inner' or 'left_points'")
@@ -146,16 +152,34 @@ def interval_join(
     if w <= 0:
         raise ValueError("bucket_seconds must be positive")
 
-    p = points.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / w)
-    )
+    def _axis(df: DataFrame, col_name: str) -> Column:
+        from pyspark.sql.types import DateType, NumericType, TimestampType
+
+        try:
+            from pyspark.sql.types import TimestampNTZType
+
+            ts_types = (TimestampType, TimestampNTZType, DateType)
+        except ImportError:  # pragma: no cover - older Spark
+            ts_types = (TimestampType, DateType)
+        dtype = df.schema[col_name].dataType
+        if isinstance(dtype, ts_types):
+            return F.unix_timestamp(F.col(col_name))
+        if isinstance(dtype, NumericType):
+            return F.col(col_name)
+        raise TypeError(
+            f"interval_join: column {col_name!r} has type {dtype.simpleString()}; "
+            "expected timestamp/date or a numeric epoch axis (cast string "
+            "timestamps with to_timestamp first)"
+        )
+
+    p = points.withColumn("_bucket", F.floor(_axis(points, point_ts) / w))
     i = intervals.withColumn(
         "_buckets",
         F.when(
             F.col(end_ts) >= F.col(start_ts),
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_ts)) / w),
-                F.floor(F.unix_timestamp(F.col(end_ts)) / w),
+                F.floor(_axis(intervals, start_ts) / w),
+                F.floor(_axis(intervals, end_ts) / w),
             ),
         ).otherwise(F.array().cast("array<bigint>")),
     ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")

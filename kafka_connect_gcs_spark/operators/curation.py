@@ -91,17 +91,20 @@ def decontaminate(
     """
     # n-grams are formed over the ORIGINAL word sequence (dedup would
     # splice non-adjacent words into phantom grams); only the per-doc
-    # gram SET is distinct'd.
-    ws = words(F.col(text_col))
+    # gram SET is distinct'd. The word array is STAGED as an attribute
+    # before gramming on BOTH sides: word_ngrams re-reads its input per
+    # gram element inside an interpreted HOF lambda, so an inlined
+    # words(text) expression would re-tokenize the doc O(n_words) times.
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("gram")
-        )
+        benchmark.select(words(F.col(text_col)).alias("_ws"))
+        .select(F.explode(word_ngrams(F.col("_ws"), n)).alias("gram"))
         .distinct()
     )
     doc_grams = corpus.select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(ws, n)).alias("_grams"),
+        F.array_distinct(word_ngrams(F.col("_ws"), n)).alias("_grams"),
     )
     totals = doc_grams.select(
         id_col, F.size("_grams").alias("n_grams")

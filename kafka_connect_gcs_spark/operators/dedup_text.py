@@ -592,10 +592,17 @@ def simhash_signatures_pandas(
             return h
 
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for row_i, text in enumerate(pdf[text_col].astype(str)):
+            # null signature for null/NaN text (matches the Catalyst
+            # simhash64 path, which is null-propagating) — astype(str)
+            # would turn nulls into the literal "None"/"nan" and give
+            # every null-text doc one shared, spurious signature
+            out: "list[int | None]" = [None] * len(pdf)
+            for row_i, text in enumerate(pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
                 ws = {w for w in ascii_ws.split(text.lower()) if w}
                 if not ws:
+                    out[row_i] = 0
                     continue
                 hs = np.fromiter(
                     (word_hash(w) for w in ws), dtype=np.uint64, count=len(ws)
@@ -607,7 +614,11 @@ def simhash_signatures_pandas(
                 ones = votes.sum(axis=0)
                 bits = (2 * ones > len(ws)).astype(np.uint64)
                 out[row_i] = int((bits << shifts).sum(dtype=np.uint64))
-            yield pd.DataFrame({id_col: pdf[id_col].values, "sh": out})
+            # nullable Int64, NOT a bare list: pandas infers float64 for a
+            # mixed int/None list and silently rounds 60-bit signatures
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "sh": pd.array(out, dtype="Int64")}
+            )
 
     return src.mapInPandas(compute, schema=out_schema)
 

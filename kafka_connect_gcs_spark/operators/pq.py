@@ -80,6 +80,14 @@ def pq_train(
         .collect()
     )
     rows = [[float(x) for x in r[0]] for r in sample]
+    if not rows:
+        raise ValueError("pq_train: input has no vectors to sample")
+    if len(rows) < codes_per_subspace:
+        raise ValueError(
+            f"pq_train: sample of {len(rows)} vectors is smaller than "
+            f"codes_per_subspace={codes_per_subspace}; k-means needs at "
+            "least one vector per code"
+        )
     dim = len(rows[0])
     if dim % num_subspaces:
         raise ValueError(f"dim {dim} not divisible by {num_subspaces} subspaces")
@@ -151,6 +159,21 @@ def pq_encode(
         src = l2_normalize(src, vec_col)
     if method == "pandas":
         import numpy as np
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        # the id column keeps its ACTUAL type (string keys are common);
+        # a hardcoded "long" would fail or silently coerce them
+        out_schema = StructType(
+            [
+                StructField(id_col, src.schema[id_col].dataType),
+                StructField("codes", ArrayType(IntegerType())),
+            ]
+        )
 
         d0 = len(codebooks[0][0][1])
         mats, halves, cid_arrays = [], [], []
@@ -180,15 +203,17 @@ def pq_encode(
                     }
                 )
 
-        return src.mapInPandas(encode, schema=f"{id_col} long, codes array<int>")
+        return src.mapInPandas(encode, schema=out_schema)
     return src.select(
         id_col, pq_encode_expr(codebooks, F.col(vec_col)).alias("codes")
     )
 
 
-def _query_luts(codebooks, qrows, query_id_col: str = "query_id"):
+def _query_luts(codebooks, qrows):
     """(query_id, flat M·K LUT) rows for an already-normalized collected
-    query set. LUT[m·K + code] = q_m · codebook_m[code]."""
+    query set. LUT[m·K + code] = q_m · codebook_m[code]. Query ids pass
+    through UNCOERCED — the caller builds the DataFrame schema from the
+    query relation's actual id type."""
     M = len(codebooks)
     K = len(codebooks[0])
     d0 = len(codebooks[0][0][1])
@@ -200,8 +225,24 @@ def _query_luts(codebooks, qrows, query_id_col: str = "query_id"):
             sub = qv[m * d0 : (m + 1) * d0]
             for cid, cv in cb:
                 flat[m * K + int(cid)] = sum(a * b for a, b in zip(sub, cv))
-        lut_rows.append((int(r[0]), flat))
+        lut_rows.append((r[0], flat))
     return lut_rows
+
+
+def _lut_schema(queries: DataFrame, query_id_col: str):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("_lut", ArrayType(DoubleType())),
+        ]
+    )
 
 
 def _adc_score(codebooks):
@@ -243,8 +284,7 @@ def pq_adc_topk(
         queries.select(query_id_col, vec_col), vec_col
     ).collect()
     luts = spark.createDataFrame(
-        _query_luts(codebooks, qrows, query_id_col),
-        f"{query_id_col} long, _lut array<double>",
+        _query_luts(codebooks, qrows), _lut_schema(queries, query_id_col)
     )
     scored = codes.crossJoin(F.broadcast(luts)).select(
         query_id_col, id_col, _adc_score(codebooks).alias("sim")
@@ -328,20 +368,29 @@ def ivfpq_topk_prepartitioned(
     from .similarity import _probe_centroids
 
     store = spark.read.parquet(path)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     qrows = l2_normalize(
         queries.select(query_id_col, vec_col), vec_col
     ).collect()
     probe_pairs = [
-        (int(r[0]), int(c))
+        (r[0], int(c))
         for r in qrows
         for c in _probe_centroids(centroids, r[1], nprobe)
     ]
     probed = sorted({c for _, c in probe_pairs})
     pruned = store.where(F.col("centroid").isin(probed))
-    pdf = spark.createDataFrame(probe_pairs, f"{query_id_col} long, centroid int")
+    pdf = spark.createDataFrame(
+        probe_pairs,
+        StructType(
+            [
+                StructField(query_id_col, queries.schema[query_id_col].dataType),
+                StructField("centroid", IntegerType()),
+            ]
+        ),
+    )
     luts = spark.createDataFrame(
-        _query_luts(codebooks, qrows, query_id_col),
-        f"{query_id_col} long, _lut array<double>",
+        _query_luts(codebooks, qrows), _lut_schema(queries, query_id_col)
     )
     scored = (
         pruned.join(F.broadcast(pdf), "centroid")

@@ -128,3 +128,32 @@ def test_matches_naive_between_join(spark, sf_dir):
         .collect()
     }
     assert banded == naive and len(banded) > 0
+
+
+def test_numeric_epoch_axis(spark):
+    """Numeric ts columns are used directly as the bucketing axis —
+    previously an implicit unix_timestamp cast-and-parse yielded NULL
+    buckets and a silently empty join."""
+    points = spark.createDataFrame(
+        [(1, 100.0), (2, 3700.0), (3, 7300.0)], "pid long, pt double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 3650), (20, 7000, 8000)], "iid long, s long, e long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "pt", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 20)}
+
+
+def test_string_ts_rejected(spark):
+    points = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "pid long, pt string")
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "iid long, s string, e string",
+    )
+    with pytest.raises(TypeError, match="to_timestamp"):
+        interval_join(points, intervals, "pt", "s", "e")

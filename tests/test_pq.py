@@ -134,3 +134,38 @@ def test_ivfpq_store_prunes_and_ranks(spark, emb, books, tmp_path):
     assert "PartitionFilters" in plan and "centroid" in plan
     # stored relation is codes-only: the raw vector column is gone
     assert "embedding" not in spark.read.parquet(path).columns
+
+
+def test_pq_train_empty_and_undersized_inputs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no vectors"):
+        pq_train(empty, num_subspaces=2, codes_per_subspace=4)
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="codes_per_subspace"):
+        pq_train(tiny, num_subspaces=2, codes_per_subspace=16)
+
+
+def test_pq_string_ids_roundtrip(spark, emb, books):
+    """Encode + ADC top-k must carry NON-long id types through unchanged
+    (schemas are derived from the input, not hardcoded)."""
+    s_corpus = emb.where(F.col("vec_id") < 40).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    for method in ("expr", "pandas"):
+        codes = pq_encode(s_corpus, books, method=method)
+        assert dict(codes.dtypes)["vec_id"] == "string"
+        assert codes.count() == 40
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"), "embedding"
+    )
+    codes = pq_encode(s_corpus, books, method="pandas")
+    top = pq_adc_topk(codes, books, queries, k=3)
+    rows = top.collect()
+    assert len(rows) == 9
+    assert all(r.query_id.startswith("q-") and r.vec_id.startswith("doc-") for r in rows)
+    # each query's own vector is its best match (identical corpus/query ids)
+    best = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert best == {f"q-{i}": f"doc-{i}" for i in range(3)}

@@ -141,10 +141,18 @@ def test_pandas_simhash_bit_identical_to_expression(spark, docs):
     }
     fast = {r.doc_id: r.sh for r in simhash_signatures_pandas(sample).collect()}
     assert fast == expr
-    # whitespace/empty/case edge docs
+    # whitespace/empty/case/NULL edge docs — null text must yield a NULL
+    # signature on BOTH paths (the expression is null-propagating; the
+    # pandas path must not stringify None into a real signature)
     edge = spark.createDataFrame(
-        [(1, "  Mixed   CASE\twords\nhere  "), (2, ""), (3, "   "), (4, "one")],
-        ["doc_id", "text"],
+        [
+            (1, "  Mixed   CASE\twords\nhere  "),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, None),
+        ],
+        "doc_id long, text string",
     )
     e = {
         r.doc_id: r.sh
