@@ -49,14 +49,96 @@ def exclusive_prefix_sum(
     is the caller contract (packing uses doc_id, a primary key).
 
     Keep ``df`` NARROW (the order key and the count): the relation is
-    range-shuffled once and window-scanned once. The only driver-side data
-    is one row per partition (its total), so this works at any row count
-    the cluster can shuffle. The input is persisted for the two passes so
-    ``spark_partition_id`` is stable between them (range boundaries come
-    from sampling and could differ on re-execution); the result is eagerly
-    localCheckpoint-ed and the temporary cache released before returning,
-    so repeated calls don't accumulate cached relations.
+    bucket-shuffled once for the totals and once for the window scan. The
+    only driver-side data is one row per bucket (its total), so this works
+    at any row count the cluster can shuffle.
+
+    Two plan shapes, picked by the order key's type:
+
+    * **integral keys** (the normal case — doc ids): buckets are a pure
+      equal-width function of the key (``(key - min) DIV width``), so the
+      two passes agree by CONSTRUCTION under any re-execution, AQE
+      re-plan, or task retry. Nothing is persisted or checkpointed —
+      the result is a lazy, fully deterministic plan (callers that reuse
+      it repeatedly can cache it themselves). Heavily CLUSTERED sparse
+      ids can land in few buckets (window parallelism degrades, never
+      correctness); dense or uniformly-spread ids bucket evenly.
+    * **other orderable keys**: fall back to sampled range partitioning,
+      which must be pinned with a persist (the sampling could differ on
+      re-execution) and eagerly localCheckpoint-ed so the temporary cache
+      is released before returning.
     """
+    dtype = df.schema[order_col].dataType
+    if dtype.simpleString() in ("tinyint", "smallint", "int", "bigint"):
+        lo_hi = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).collect()[0]
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        span = int(hi) - int(lo) + 1
+        if span < 2**62:  # int64-safe arithmetic; else sampled fallback
+            return _prefix_sum_bucketed(
+                df, order_col, n_col, out_col, int(lo), span, num_partitions
+            )
+    return _prefix_sum_sampled_ranges(
+        df, order_col, n_col, out_col, num_partitions
+    )
+
+
+def _prefix_sum_bucketed(
+    df: DataFrame,
+    order_col: str,
+    n_col: str,
+    out_col: str,
+    lo: int,
+    span: int,
+    num_partitions: "int | None",
+) -> DataFrame:
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    width = -(-span // P)  # ceil; >= 1
+    bucket = F.expr(
+        f"CAST((CAST(`{order_col}` AS BIGINT) - {lo}) DIV {width} AS INT)"
+    )
+    src = df.withColumn("_pid", bucket)
+    # ONE metadata-scale collect: per-bucket totals (<= P rows)
+    totals = {
+        r["_pid"]: r["t"]
+        for r in src.groupBy("_pid").agg(F.sum(n_col).alias("t")).collect()
+    }
+    bases, acc = {}, 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += totals[pid] or 0
+    base_map = F.create_map(
+        *[F.lit(x) for pid in sorted(bases) for x in (pid, bases[pid])]
+    )
+    # explicit ROWS frame: the default RANGE frame makes duplicate order
+    # values peers (all sharing one inclusive cumsum); ROWS keeps every row's
+    # running total distinct even if the uniqueness contract is violated
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return src.withColumn(
+        out_col,
+        (
+            F.coalesce(base_map[F.col("_pid")], F.lit(0))
+            + F.sum(n_col).over(w)
+            - F.col(n_col)
+        ).cast("long"),
+    ).drop("_pid")
+
+
+def _prefix_sum_sampled_ranges(
+    df: DataFrame,
+    order_col: str,
+    n_col: str,
+    out_col: str,
+    num_partitions: "int | None",
+) -> DataFrame:
     from pyspark import StorageLevel
 
     spark = df.sparkSession
@@ -79,9 +161,6 @@ def exclusive_prefix_sum(
     base_map = F.create_map(
         *[F.lit(x) for pid in sorted(bases) for x in (pid, bases[pid])]
     )
-    # explicit ROWS frame: the default RANGE frame makes duplicate order
-    # values peers (all sharing one inclusive cumsum); ROWS keeps every row's
-    # running total distinct even if the uniqueness contract is violated
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

@@ -81,3 +81,42 @@ def test_pack_sequences_partitioning_invariant(spark, docs):
     a = {r.seq_id: list(r.tokens) for r in pack_sequences(df1, 77).collect()}
     b = {r.seq_id: list(r.tokens) for r in pack_sequences(df2, 77).collect()}
     assert a == b
+
+
+def test_prefix_sum_integral_path_no_cached_relations(spark, docs):
+    """The integral-key prefix sum is a pure deterministic plan: nothing
+    may remain persisted after the call (the r4 eager-localCheckpoint
+    release pattern is only needed on the sampled-range fallback)."""
+    df = spark.createDataFrame(
+        [(i, len(t)) for i, t in docs], "doc_id long, n long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = exclusive_prefix_sum(df, "doc_id", "n")
+    out.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_prefix_sum_negative_sparse_and_string_keys(spark):
+    """Equal-width buckets must handle negative/sparse integral keys; a
+    string order key exercises the sampled-range fallback (which also
+    must leak nothing once finished)."""
+    rows = [(-(10**9), 3), (-5, 2), (0, 7), (99, 1), (10**12, 4)]
+    df = spark.createDataFrame(rows, "k long, n long")
+    got = {r.k: r.start for r in exclusive_prefix_sum(df, "k", "n").collect()}
+    acc = 0
+    for k, n in sorted(rows):
+        assert got[k] == acc
+        acc += n
+    sdf = spark.createDataFrame(
+        [(f"id{i:04d}", i % 5 + 1) for i in range(50)], "k string, n long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    sgot = {r.k: r.start for r in exclusive_prefix_sum(sdf, "k", "n").collect()}
+    acc = 0
+    for i in range(50):
+        assert sgot[f"id{i:04d}"] == acc
+        acc += i % 5 + 1
+    # the fallback's localCheckpoint RDD IS the result's storage (it lives
+    # until the result is GC'd); only the temporary range-partitioned cache
+    # must have been released
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
