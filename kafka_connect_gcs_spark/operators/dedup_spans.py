@@ -109,6 +109,7 @@ def dup_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-span statistics.
 
@@ -120,14 +121,20 @@ def dup_span_stats(
 
     for EVERY input document (docs with no duplicated grams report zeros),
     ``dup_frac`` rounded to 6 so the DuckDB oracle hashes identically.
+
+    With ``eager=True`` (default) the per-doc span aggregate — narrow rows,
+    only for docs that HAVE duplicated grams — is materialized via
+    ``localCheckpoint`` and the gram-postings cache released before
+    returning; the final left join against the doc lengths stays lazy
+    (never materialize document text twice). ``eager=False`` keeps the
+    whole plan lazy and leaves the cache to LRU eviction.
     """
     from pyspark import StorageLevel
 
     # the gram explode + hash is the dominant cost and feeds BOTH the
     # document-frequency aggregate and the position join — persist the
     # narrow (id, pos, h) rows so it runs once (the minhash pipeline's
-    # persisted-signature-pass pattern; relies on LRU eviction like
-    # dedup_text does)
+    # persisted-signature-pass pattern)
     gp = gram_positions(
         df, k=k, text_col=text_col, id_col=id_col, portable=portable
     ).select(id_col, "pos", "h").persist(StorageLevel.MEMORY_AND_DISK)
@@ -162,6 +169,9 @@ def dup_span_stats(
             F.sum("_covered").alias("dup_words"),
         )
     )
+    if eager:
+        spans = spans.localCheckpoint(eager=True)
+        gp.unpersist()
 
     base = df.select(
         F.col(id_col), F.size(words(F.col(text_col))).alias("n_words")
@@ -190,6 +200,7 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     portable: bool = False,
     out_col: str = "clean_text",
+    eager: bool = True,
 ) -> DataFrame:
     """Drop every word covered by a duplicated span and rebuild the text.
 
@@ -197,6 +208,10 @@ def remove_dup_spans(
     per gram) and collected per document — per-doc state only, so the
     operator distributes; the rebuild keeps original word order via an
     index filter over the word array.
+
+    ``eager=True`` (default) checkpoints the narrow per-doc covered-position
+    sets and releases the gram-postings cache before returning; the text
+    rebuild itself stays lazy (document text is never materialized twice).
     """
     from pyspark import StorageLevel
 
@@ -213,6 +228,9 @@ def remove_dup_spans(
         .groupBy(id_col)
         .agg(F.collect_set("cpos").alias("_covered"))
     )
+    if eager:
+        covered = covered.localCheckpoint(eager=True)
+        gp.unpersist()
     ws = words(F.col(text_col))
     kept = F.filter(
         F.zip_with(

@@ -66,6 +66,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
+    eager: bool = True,
 ) -> DataFrame:
     """Top-k documents per query under Lucene-flavored BM25.
 
@@ -76,6 +77,12 @@ def bm25_topk(
     Returns ``(query_id, id, score, rank)`` with ``rank`` 1..k per query,
     ordered by (rounded score desc, id asc) — rounding before ranking keeps
     tie-breaks identical in Spark and the DuckDB oracle.
+
+    With ``eager=True`` (default) the bounded top-k result (≤ |queries|·k
+    rows) is materialized via ``localCheckpoint`` and the temporary
+    postings cache released before returning, so a long-lived service
+    calling this per query batch never accumulates cached relations.
+    ``eager=False`` keeps the plan lazy (the cache is then LRU-evicted).
     """
     ws = words(F.col(text_col))
     postings = doc_term_freqs(docs, text_col=text_col, id_col=id_col)
@@ -94,8 +101,7 @@ def bm25_topk(
 
     # postings restricted to the query vocabulary — reused for both the
     # df aggregate and the scoring join, so keep the narrow rows around
-    # (relies on LRU eviction rather than explicit unpersist, like the
-    # dedup_text signature pass: the relation is narrow and query-bounded)
+    # for the two passes (released below under eager=True)
     hit = postings.join(F.broadcast(qwords), "word").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -122,6 +128,11 @@ def bm25_topk(
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("_contrib"), 6).alias("score"))
     )
-    return topk_per_query(
+    out = topk_per_query(
         scored, k, query_id_col=query_id_col, id_col=id_col, sim_col="score"
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    hit.unpersist()
+    return out

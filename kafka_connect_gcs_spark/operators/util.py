@@ -5,16 +5,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin a few-partition input across the cluster's cores.
+def spread_small_input(df: DataFrame, is_small: "bool | None" = None) -> DataFrame:
+    """Round-robin a few-file input across the cluster's cores.
 
     Map-heavy per-document operators (gram hashing, signature computation,
     feature explosion) are embarrassingly parallel, but a small table often
     arrives as one or two parquet files — one task would do all the work.
-    At real scale inputs already have many partitions and this is a no-op
-    (the ``getNumPartitions`` probe is driver-side metadata, not a job).
+    At real scale inputs already have many files/partitions and this is a
+    no-op.
+
+    The probe is ``df.inputFiles()`` — a driver-side metadata walk of the
+    plan's file-scan leaves — NOT ``df.rdd.getNumPartitions()``, which
+    forces a full logical→RDD plan translation per call (measurable when
+    every micro-batch of a streaming composition passes through here).
+    Non-file relations (in-memory test data, post-shuffle inputs) probe as
+    "no files" and are left alone: ``spark.sql.leafNodeDefaultParallelism``
+    already spreads local relations, and anything downstream of an exchange
+    is already spread. Callers that know better can force the decision with
+    ``is_small``.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if is_small is None:
+        try:
+            files = df.inputFiles()
+        except Exception:  # non-file source / unsupported plan
+            files = []
+        is_small = bool(files) and len(files) < target
+    return df.repartition(target) if is_small else df

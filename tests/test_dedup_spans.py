@@ -94,3 +94,25 @@ def test_stats_on_corpus(spark, sf_dir):
         (F.col("dup_words") > F.col("n_words"))
     )
     assert bad.count() == 0
+
+
+def test_dup_span_eager_releases_gram_cache(docs):
+    """Default eager mode checkpoints only the narrow span aggregate and
+    releases the gram-postings cache; eager=False must agree row-for-row."""
+    spark = docs.sparkSession
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = dup_span_stats(docs, k=3)
+    rows_eager = sorted(map(tuple, out.collect()))
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1
+    rows_lazy = sorted(map(tuple, dup_span_stats(docs, k=3, eager=False).collect()))
+    assert rows_eager == rows_lazy
+
+    r_eager = sorted(
+        (r.doc_id, r.clean_text) for r in remove_dup_spans(docs, k=3).collect()
+    )
+    r_lazy = sorted(
+        (r.doc_id, r.clean_text)
+        for r in remove_dup_spans(docs, k=3, eager=False).collect()
+    )
+    assert r_eager == r_lazy

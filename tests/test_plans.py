@@ -267,3 +267,27 @@ def test_tokenizer_encode_broadcasts_vocab(spark, sf_dir):
     enc = encode_tokens(docs, vocab)
     assert has_broadcast_join(enc)
     assert num_python_udf_nodes(enc) == 0
+
+
+def test_spread_small_input_probe_is_metadata_only(spark, tmp_path):
+    """spread_small_input must decide from file-scan metadata, not an
+    RDD conversion: a one-file parquet is round-robined, an in-memory or
+    already-shuffled relation is returned untouched (identity, so no plan
+    node is added either)."""
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    p = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p)
+    one_file = spark.read.parquet(p)
+    spread = spread_small_input(one_file)
+    assert "RoundRobinPartitioning" in explain_str(spread, mode="simple")
+
+    mem = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    assert spread_small_input(mem) is mem
+
+    shuffled = one_file.repartition(64)
+    assert spread_small_input(shuffled, is_small=False) is shuffled
+    # hint forces the spread even when the probe says no
+    assert "RoundRobinPartitioning" in explain_str(
+        spread_small_input(mem, is_small=True), mode="simple"
+    )

@@ -103,3 +103,19 @@ def test_bm25_on_corpus(spark, sf_dir):
     # deterministic across runs
     again = {(r["query_id"], r["doc_id"], r["rank"]) for r in out.collect()}
     assert again == {(r["query_id"], r["doc_id"], r["rank"]) for r in rows}
+
+
+def test_bm25_eager_releases_postings_cache(spark, docs):
+    """Default eager mode must leave no leaked cached relation behind:
+    only the bounded checkpointed result itself may remain persisted."""
+    queries = spark.createDataFrame([(1, "cat"), (2, "dog")], ["query_id", "qtext"])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = bm25_topk(docs, queries, k=2)
+    out.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # the result's own localCheckpoint storage
+
+    lazy = bm25_topk(docs, queries, k=2, eager=False)
+    got = {(r.query_id, r.doc_id) for r in lazy.collect()}
+    want = {(r.query_id, r.doc_id) for r in out.collect()}
+    assert got == want
