@@ -35,6 +35,8 @@ import io
 import json
 import os
 import threading
+import time
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -144,42 +146,90 @@ class InMemoryStore(ObjectStore):
             return key in self._blobs
 
 
+# transient server/transport conditions worth a bounded retry — the
+# python analogue of StorageException.isRetryable() that the reference
+# gates its error backoff on (GCSSourceTask.java:200-234)
+_RETRYABLE_HTTP = frozenset({408, 429, 500, 502, 503, 504})
+
+
+def _is_retryable(exc: BaseException) -> bool:
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code in _RETRYABLE_HTTP
+    # connection refused/reset/timeout — the server went away mid-request
+    return isinstance(
+        exc, (urllib.error.URLError, ConnectionError, TimeoutError)
+    )
+
+
 class HttpStore(ObjectStore):
     """Object-store client over plain HTTP — the injected-endpoint path
     (``gcs.endpoint``, GCS.java:32-37). Speaks the minimal REST dialect
     :func:`serve_fake_store` serves (GET with Range / PUT / list via
     ``?prefix=``), which is the subset the archive layer needs of any
-    real bucket API. Holds only the endpoint string → picklable; one
-    request per call → no connection state to ship."""
+    real bucket API. Holds only the endpoint string + retry config →
+    picklable; one request per call → no connection state to ship.
 
-    def __init__(self, endpoint: str):
+    Transient failures (5xx/429/connection errors) are retried at the
+    transport with ``backoff_s`` sleeps, up to ``retries`` extra attempts
+    — the reference sleeps ``gcs.error.backoff`` (1 s default) on
+    retryable ``StorageException`` and re-polls (GCSSourceTask.java:40,
+    200-234); bounding the attempts here keeps poison endpoints from
+    hanging an executor task, and the pipeline-level ``run_forever``
+    backoff still owns the unbounded outer loop. Every operation is a
+    full-request replay, and the dialect's PUT is atomic last-write-wins,
+    so retries are idempotent by construction."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        retries: int = 3,
+        backoff_s: float = 1.0,
+        sleep=time.sleep,
+    ):
         self.endpoint = endpoint.rstrip("/")
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.sleep = sleep
 
     def _url(self, key: str) -> str:
         return self.endpoint + "/" + urllib.parse.quote(key)
+
+    def _open(self, req):
+        """urlopen with bounded retry on retryable failures."""
+        attempt = 0
+        while True:
+            try:
+                return urllib.request.urlopen(req)
+            except Exception as e:  # noqa: BLE001 — classified below
+                if attempt >= self.retries or not _is_retryable(e):
+                    raise
+                attempt += 1
+                self.sleep(self.backoff_s)
 
     def get(self, key: str, start: int = 0, length: int = -1) -> bytes:
         req = urllib.request.Request(self._url(key))
         if start or length >= 0:
             end = "" if length < 0 else str(start + length - 1)
             req.add_header("Range", f"bytes={start}-{end}")
-        with urllib.request.urlopen(req) as resp:
+        with self._open(req) as resp:
             return resp.read()
 
     def put(self, key: str, data: bytes) -> None:
         req = urllib.request.Request(self._url(key), data=data, method="PUT")
-        with urllib.request.urlopen(req) as resp:
+        with self._open(req) as resp:
             resp.read()
 
     def list(self, prefix: str = "") -> "list[str]":
         q = urllib.parse.urlencode({"prefix": prefix})
-        with urllib.request.urlopen(self.endpoint + "/?" + q) as resp:
+        with self._open(
+            urllib.request.Request(self.endpoint + "/?" + q)
+        ) as resp:
             return json.loads(resp.read().decode("utf-8"))
 
     def exists(self, key: str) -> bool:
         req = urllib.request.Request(self._url(key), method="HEAD")
         try:
-            with urllib.request.urlopen(req):
+            with self._open(req):
                 return True
         except urllib.error.HTTPError as e:
             if e.code == 404:
@@ -187,16 +237,27 @@ class HttpStore(ObjectStore):
             raise
 
 
-def serve_fake_store(store: "InMemoryStore | None" = None):
+def serve_fake_store(
+    store: "InMemoryStore | None" = None,
+    faults: "list[int] | None" = None,
+):
     """Stand up a loopback HTTP object store over an :class:`InMemoryStore`
     — the engine's FakeGCS (FakeGCS.java:22-47 runs fake-gcs-server and
     points the production client at its endpoint; this does the same with
     stdlib so the sandbox needs no containers). Returns
     ``(endpoint, store, shutdown)``; tests build ``HttpStore(endpoint)``
-    and hand it to the archive functions unchanged."""
+    and hand it to the archive functions unchanged.
+
+    ``faults`` injects transport failures: each incoming request pops the
+    next status code from the (shared, mutable) list and fails with it
+    before touching the store — push ``[500, 503]`` to make the next two
+    requests fail, then everything succeeds again. ``0`` entries mean
+    "let this one through". This is the 500s-then-success probe for the
+    client's retry/backoff path."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     backing = store if store is not None else InMemoryStore()
+    fault_queue = faults if faults is not None else []
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -209,7 +270,20 @@ def serve_fake_store(store: "InMemoryStore | None" = None):
                 urllib.parse.urlsplit(self.path).path.lstrip("/")
             )
 
+        def _inject_fault(self) -> bool:
+            if not fault_queue:
+                return False
+            code = fault_queue.pop(0)
+            if not code:
+                return False
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return True
+
         def do_GET(self):
+            if self._inject_fault():
+                return
             split = urllib.parse.urlsplit(self.path)
             if split.path in ("", "/"):  # list
                 prefix = urllib.parse.parse_qs(split.query).get(
@@ -243,12 +317,17 @@ def serve_fake_store(store: "InMemoryStore | None" = None):
             self.wfile.write(body)
 
         def do_HEAD(self):
+            if self._inject_fault():
+                return
             self.send_response(200 if backing.exists(self._key()) else 404)
             self.send_header("Content-Length", "0")
             self.end_headers()
 
         def do_PUT(self):
             n = int(self.headers.get("Content-Length", "0"))
+            if self._inject_fault():
+                self.rfile.read(n)  # drain so keep-alive stays in sync
+                return
             backing.put(self._key(), self.rfile.read(n))
             self.send_response(200)
             self.send_header("Content-Length", "0")
@@ -272,13 +351,20 @@ def store_from_properties(props: dict, default_root: "str | None" = None):
     selects the HTTP transport (the fake-GCS / endpoint-override path),
     otherwise POSIX under ``gcs.bucket`` (or ``default_root``).
     ``projectId`` is accepted for config parity; the HTTP dialect needs
-    no project scoping so it only namespaces the endpoint path."""
+    no project scoping so it only namespaces the endpoint path.
+    ``gcs.error.backoff`` (milliseconds, default 1000 — the reference's
+    GCSSourceTask.java:40) and ``gcs.error.retries`` (default 3) tune the
+    HTTP transport's retry loop."""
     endpoint = props.get("gcs.endpoint") or ""
     if endpoint:
         project = props.get("projectId") or ""
         if project:
             endpoint = endpoint.rstrip("/") + "/" + urllib.parse.quote(project)
-        return HttpStore(endpoint)
+        return HttpStore(
+            endpoint,
+            retries=int(props.get("gcs.error.retries", 3)),
+            backoff_s=float(props.get("gcs.error.backoff", 1000)) / 1000.0,
+        )
     root = props.get("gcs.bucket") or default_root
     if not root:
         raise ValueError(

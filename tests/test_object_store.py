@@ -182,3 +182,84 @@ def test_tailer_polls_through_fake_gcs(spark, fake_gcs):
     assert sorted(r.offset for r in df2.collect()) == [6, 7, 8, 9]
     assert read_cursor(store, "t", 0) == "d2/t-00000-000000000006.index.json"
     assert cursor_key("t", 0) == "last_chunk_index.t-00000.txt"
+
+
+def test_http_store_retries_transient_faults():
+    """Retryable 5xx/429 responses are retried with backoff, bounded;
+    non-retryable codes surface immediately (GCSSourceTask.java:200-234's
+    isRetryable gate, moved to the transport)."""
+    import urllib.error
+
+    faults = []
+    endpoint, backing, shutdown = serve_fake_store(faults=faults)
+    try:
+        sleeps = []
+        store = HttpStore(endpoint, retries=3, backoff_s=0.25,
+                          sleep=sleeps.append)
+        # 500s then success — every op recovers transparently
+        backing.put("a/k", b"payload")
+        faults.extend([500, 503])
+        assert store.get("a/k") == b"payload"
+        assert sleeps == [0.25, 0.25]
+        faults.extend([429])
+        store.put("a/k2", b"v2")
+        assert backing.get("a/k2") == b"v2"
+        faults.extend([502])
+        assert store.list("a/") == ["a/k", "a/k2"]
+        faults.extend([500])
+        assert store.exists("a/k")
+        # fault on a missing key's HEAD: retried through to the real 404
+        faults.extend([500])
+        assert not store.exists("a/nope")
+        # retries exhausted -> the error surfaces
+        faults.extend([500, 500, 500, 500])
+        with pytest.raises(urllib.error.HTTPError):
+            store.get("a/k")
+        faults.clear()
+        # non-retryable 4xx raises immediately without consuming retries
+        faults.extend([403, 0])
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            store.get("a/k")
+        assert ei.value.code == 403
+        assert faults == [0]
+    finally:
+        shutdown()
+
+
+def test_http_store_retries_connection_loss():
+    """A dead endpoint is classified retryable (URLError) and the bounded
+    loop raises after the configured attempts — no hang."""
+    import urllib.error
+
+    endpoint, _backing, shutdown = serve_fake_store()
+    shutdown()  # server gone: connections now fail
+    sleeps = []
+    store = HttpStore(endpoint, retries=2, backoff_s=1.0, sleep=sleeps.append)
+    with pytest.raises((urllib.error.URLError, ConnectionError)):
+        store.get("k")
+    assert sleeps == [1.0, 1.0]
+
+
+def test_store_from_properties_retry_config(fake_gcs):
+    endpoint, _ = fake_gcs
+    s = store_from_properties(
+        {"gcs.endpoint": endpoint, "gcs.error.backoff": "250",
+         "gcs.error.retries": "5"}
+    )
+    assert isinstance(s, HttpStore)
+    assert s.retries == 5 and s.backoff_s == 0.25
+
+
+def test_archive_roundtrip_survives_injected_faults(spark):
+    """Executor-side puts/gets ride the same retry loop: an archive write +
+    read completes byte-exact while the server fails every 3rd request."""
+    faults = [0, 0, 500] * 40
+    endpoint, _backing, shutdown = serve_fake_store(faults=faults)
+    try:
+        store = HttpStore(endpoint, retries=3, backoff_s=0.01)
+        src = _records_df(spark, "alpha", 0, 0, 25)
+        write_archive(src, store, "2026-08-18", FMT, chunk_threshold=256)
+        got = read_archive(spark, store, FMT)
+        assert _collect(got) == _collect(src)
+    finally:
+        shutdown()
