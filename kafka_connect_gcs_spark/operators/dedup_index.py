@@ -135,19 +135,92 @@ def minhash_index_write(
 
 
 def minhash_index_append(
-    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: "str | None" = None,
+    params: "dict | None" = None,
 ) -> dict:
     """Append a (deduplicated) batch to an existing index — incremental
     maintenance: after dedup keeps a batch's survivors, index them so the
-    NEXT batch dedups against them too. Params come from the index."""
-    params = read_index_params(path)
-    _write_index_rows(df, path, params, id_col, text_col, mode="append")
-    return params
+    NEXT batch dedups against them too. Params come from the index.
+
+    With ``batch_id`` the append is REPLAY-SAFE (the curation loop's
+    exactly-once protocol, mirroring the table's committed-batch guard):
+
+    1. an intent marker ``batches/{batch_id}.json`` listing the batch's doc
+       ids is written (atomic rename) BEFORE any index rows — from that
+       point :func:`dedup_against_index` called with the same
+       ``exclude_batch_id`` can reconstruct the pre-append probe state at
+       any crash point;
+    2. the sig/bucket rows are appended;
+    3. the marker is rewritten with ``done`` — a replay seeing ``done``
+       skips the append entirely. A crash between 2 and 3 replays the row
+       append, which can leave duplicate (doc_id, sig) rows — benign:
+       candidate pairs are ``distinct()``-ed and the agreement estimate is
+       identical per pair, so no decision changes.
+
+    ``params`` bootstraps a missing index (first batch): params.json is
+    written before the rows so the layout is always self-describing.
+    """
+    if batch_id is not None:
+        marker = _read_batch_marker(path, batch_id)
+        if marker is not None and marker.get("done"):
+            return read_index_params(path)
+        ids = [r[0] for r in df.select(id_col).collect()]
+        _write_batch_marker(path, batch_id, {"doc_ids": ids, "done": False})
+    if not os.path.exists(_params_path(path)):
+        if params is None:
+            raise FileNotFoundError(
+                f"no index at {path}; pass params= to bootstrap"
+            )
+        os.makedirs(path, exist_ok=True)
+        tmp = _params_path(path) + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, _params_path(path))
+    stored = read_index_params(path)
+    _write_index_rows(df, path, stored, id_col, text_col, mode="append")
+    if batch_id is not None:
+        _write_batch_marker(path, batch_id, {"doc_ids": ids, "done": True})
+    return stored
 
 
 def read_index_params(path: str) -> dict:
     with open(_params_path(path)) as f:
         return json.load(f)
+
+
+def _batch_marker_path(path: str, batch_id: str) -> str:
+    import urllib.parse
+
+    safe = urllib.parse.quote(batch_id, safe="")
+    return os.path.join(path, "batches", safe + ".json")
+
+
+def _read_batch_marker(path: str, batch_id: str) -> "dict | None":
+    p = _batch_marker_path(path, batch_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_batch_marker(path: str, batch_id: str, payload: dict) -> None:
+    p = _batch_marker_path(path, batch_id)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, p)
+
+
+def _has_parquet_files(d: str) -> bool:
+    for _dir, _sub, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _bucket_part(bucket_parts: int):
@@ -184,6 +257,13 @@ def signature_agreement(a, b, num_hashes: int):
     )
 
 
+def _empty_dedup_result(new_docs: DataFrame, id_col: str) -> DataFrame:
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    return new_docs.sparkSession.createDataFrame(
+        [], f"doc_id {id_type}, dup_of {id_type}, est_jaccard double"
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,
@@ -192,6 +272,8 @@ def dedup_against_index(
     text_col: str = "text",
     max_broadcast_rows: int = 4_000_000,
     eager: bool = True,
+    missing_ok: bool = False,
+    exclude_batch_id: "str | None" = None,
 ) -> DataFrame:
     """(doc_id, dup_of, est_jaccard) — for each NEW doc whose best index
     match has signature agreement ≥ threshold: the matched corpus doc (ties
@@ -217,9 +299,28 @@ def dedup_against_index(
 
     ``eager=False`` returns the lazy probe plan instead (for plan
     inspection / composition); the temporary caches are then left to the
-    returned plan's lifetime and LRU eviction."""
+    returned plan's lifetime and LRU eviction.
+
+    ``missing_ok=True`` turns an absent or still-empty index (no
+    params.json, or params written but no data files yet — a bootstrap
+    crash window) into an empty result instead of an error.
+
+    ``exclude_batch_id`` is the replay half of the index append protocol
+    (:func:`minhash_index_append` with ``batch_id``): if that batch's
+    intent marker exists, its doc ids are anti-joined off BOTH index
+    relations first, so a replayed micro-batch probes exactly the state
+    the original attempt saw — without it, two near-duplicate docs in one
+    batch would drop EACH OTHER on replay (each matching the other's
+    crash-orphaned index rows) and both would be lost."""
     spark = new_docs.sparkSession
+    if missing_ok and not os.path.exists(_params_path(path)):
+        return _empty_dedup_result(new_docs, id_col)
     params = read_index_params(path)
+    if missing_ok and not (
+        _has_parquet_files(os.path.join(path, "sigs"))
+        and _has_parquet_files(os.path.join(path, "buckets"))
+    ):
+        return _empty_dedup_result(new_docs, id_col)
     bucket_parts = params.get("bucket_parts", 0)
     sig_params = {k: v for k, v in params.items() if k != "bucket_parts"}
     new_b = banded_signatures(
@@ -239,6 +340,18 @@ def dedup_against_index(
     small = n_banded <= max_broadcast_rows
 
     idx_buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    if exclude_batch_id is not None:
+        marker = _read_batch_marker(path, exclude_batch_id)
+        if marker is not None and marker["doc_ids"]:
+            excl = F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in marker["doc_ids"]],
+                    f"doc_id {new_docs.schema[id_col].dataType.simpleString()}",
+                )
+            )
+            idx_buckets = idx_buckets.join(excl, "doc_id", "left_anti")
+            idx_sigs = idx_sigs.join(excl, "doc_id", "left_anti")
     if bucket_parts:
         touched = [r["_p"] for r in stats]
         idx_buckets = idx_buckets.where(F.col("bucket_part").isin(touched))
@@ -256,7 +369,6 @@ def dedup_against_index(
     # corpus — but a hot bucket can inflate them, so gate on the REAL count
     # (the count also materializes the cache; the index is scanned once)
     cand_small = cand.count() <= max_broadcast_rows
-    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
     new_sigs = new_b.where(F.col("band") == 0).select(
         F.col("doc_id").alias("new_id"), F.col("sig").alias("_new_sig")
     )
