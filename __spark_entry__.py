@@ -1119,6 +1119,33 @@ def q_tokenize_encode(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Real BPE (operators/bpe.py): train 8 merge rounds on the corpus
+    (distributed pair-count argmax per round, deterministic tie-break),
+    then encode every document by applying the merges in rank order. The
+    oracle replays the WHOLE thing in DuckDB — all 8 training rounds
+    (pair counts, argmax, greedy fold rewrite), id assignment, and the
+    positional encode — so a hash match proves training and encoding
+    end-to-end."""
+    from kafka_connect_gcs_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=8, min_pair_count=2)
+    vocab = bpe_vocab(d, merges)
+    out = bpe_encode(d, merges, vocab, impl="expr")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.concat_ws(",", F.col("tokens").cast("array<string>")).alias(
+            "tokens_str"
+        ),
+    )
+
+
 def q_quality_gate(spark, sf_dir):
     """The whole curation funnel as ONE map-only projection
     (operators/curation.py, quality_gate): length bounds + Gopher
@@ -1206,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "tokenize_encode": q_tokenize_encode,
         "quality_gate": q_quality_gate,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -1985,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokenize_encode": _tokenize_sql(),
         "quality_gate": _quality_gate_sql(),
+        "bpe_encode": _bpe_sql(),
     }
 
 
@@ -2157,6 +2186,106 @@ def _tokenize_sql(size: int = 500, min_count: int = 2) -> str:
         SELECT doc_id,
                list(tok ORDER BY pos, sub, tok) AS toks
         FROM units GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_tok,
+             coalesce(array_to_string(a.toks, ','), '') AS tokens_str
+      FROM documents d LEFT JOIN assembled a USING (doc_id)
+    """
+
+
+def _bpe_sql(num_merges: int = 8, min_pair_count: int = 2) -> str:
+    """DuckDB replay of BPE end-to-end: the distinct-piece frequency
+    table, then ``num_merges`` UNROLLED training rounds — adjacent-pair
+    counts, the (count desc, l, r) argmax, and the greedy left-to-right
+    merge fold (symbol lists ride a chr(31)-delimited string through
+    ``list_reduce``, whose accumulator must be element-typed) — then id
+    assignment (char block + merges by rank) and the positional encode.
+    Because the encode corpus IS the training corpus, the final round's
+    symbol table is exactly the encoded symbolization (merges in rank
+    order ≡ the trainer's progressive rewrites)."""
+    from kafka_connect_gcs_spark.operators.text import BPE_PIECE_RE
+
+    re_sql = BPE_PIECE_RE.replace("'", "''")
+    last = r"regexp_extract(acc, '[^\x1f]*$')"
+    rounds = []
+    for k in range(num_merges):
+        rounds.append(
+            f"""
+      pairs{k} AS (
+        SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        FROM words{k}, unnest(list_zip(syms[1:-2], syms[2:])) AS t(p)
+        WHERE len(syms) >= 2
+        GROUP BY 1, 2
+      ),
+      best{k} AS (
+        SELECT l, r FROM pairs{k} WHERE c >= {min_pair_count}
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1
+      ),
+      words{k + 1} AS (
+        SELECT w.piece, w.cnt,
+          CASE WHEN b.l IS NULL OR len(w.syms) < 2 THEN w.syms
+          ELSE str_split(list_reduce(w.syms, (acc, x) -> CASE
+               WHEN {last} = b.l AND x = b.r
+               THEN substr(acc, 1, length(acc) - length({last})) || b.l || b.r
+               ELSE acc || chr(31) || x END), chr(31)) END AS syms
+        FROM words{k} w LEFT JOIN best{k} b ON TRUE
+      )"""
+        )
+    merge_rows = "\n        UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r FROM best{k}" for k in range(num_merges)
+    )
+    return f"""
+      WITH raw AS (
+        SELECT doc_id, regexp_extract_all(text, '{re_sql}') AS pieces
+        FROM documents
+      ),
+      p AS (
+        SELECT doc_id, unnest(range(1, len(pieces) + 1)) AS pos, pieces
+        FROM raw
+      ),
+      pp AS (SELECT doc_id, pos, pieces[pos] AS piece FROM p),
+      words0 AS (
+        SELECT piece, CAST(count(*) AS BIGINT) AS cnt,
+               list_transform(range(1, length(piece) + 1),
+                              i -> substr(piece, i, 1)) AS syms
+        FROM pp GROUP BY piece
+      ),{",".join(rounds)},
+      chars AS (
+        SELECT DISTINCT unnest(list_transform(
+          range(1, length(piece) + 1), i -> substr(piece, i, 1))) AS token
+        FROM words0
+      ),
+      char_ids AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY token) - 1 AS INTEGER) AS id
+        FROM chars
+      ),
+      nch AS (SELECT count(*) AS n FROM char_ids),
+      merges AS (
+        {merge_rows}
+      ),
+      merge_ids AS (
+        SELECT token, CAST(rk + nch.n AS INTEGER) AS id
+        FROM (SELECT l || r AS token, min(rank) AS rk FROM merges GROUP BY 1)
+        CROSS JOIN nch
+      ),
+      vocab AS (
+        SELECT token, id FROM char_ids
+        UNION ALL SELECT token, id FROM merge_ids
+      ),
+      sym_tok AS (
+        SELECT piece, unnest(range(1, len(syms) + 1)) AS sub, syms
+        FROM words{num_merges}
+      ),
+      st AS (SELECT piece, sub, syms[sub] AS token FROM sym_tok),
+      placed AS (
+        SELECT pp.doc_id, pp.pos, st.sub, v.id AS tok
+        FROM pp JOIN st USING (piece) JOIN vocab v ON v.token = st.token
+      ),
+      assembled AS (
+        SELECT doc_id, list(tok ORDER BY pos, sub) AS toks
+        FROM placed GROUP BY doc_id
       )
       SELECT d.doc_id,
              CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_tok,
