@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "tokenize_encode",
     "interval_join",
+    "bpe_encode",
 ]
 
 
@@ -303,7 +304,11 @@ def bench_ops(spark, work_dir: str) -> dict:
     * a PROBE of a 10%-sized new batch against the stored index (the
       per-micro-batch cost ∝ batch);
     * duplicated-span stats over the replicated corpus (every gram
-      duplicated R ways — substring dedup's worst case)."""
+      duplicated R ways — substring dedup's worst case);
+    * minhash-LSH all-pairs near-dup over the replicated corpus;
+    * BM25 top-k retrieval (postings build over the corpus + broadcast
+      query scoring);
+    * NB quality classifier train + full-corpus score."""
     from pyspark.sql import functions as F
 
     from kafka_connect_gcs_spark.operators.dedup_index import (
@@ -341,6 +346,44 @@ def bench_ops(spark, work_dir: str) -> dict:
     # the unique-keyed left join and skip the whole span subtree)
     dup_span_stats(corpus, k=8).agg(F.sum("dup_words")).collect()
     out["dup_spans"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
+
+    t0 = time.time()
+    minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
+    ).count()
+    out["minhash_lsh"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.search import bm25_topk
+
+    # deterministic query set: prefixes of the 8 lexicographically-first
+    # ORIGINAL docs (pre-replication, so the set is R-independent)
+    qrows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 60).alias("qtext"),
+        )
+    )
+    t0 = time.time()
+    bm25_topk(corpus, qrows, k=10).count()
+    out["bm25"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.classifier import (
+        classifier_score,
+        nb_train,
+    )
+
+    labeled = corpus.withColumn("label", F.length("text") > 800)
+    t0 = time.time()
+    w, m = nb_train(labeled, "label")
+    classifier_score(
+        corpus, w, m, n_buckets=1 << 18, use_bigrams=True, portable=False
+    ).agg(F.sum("prob")).collect()
+    out["quality_classifier"] = round(time.time() - t0, 3)
     return out
 
 
