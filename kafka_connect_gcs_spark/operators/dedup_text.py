@@ -322,6 +322,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     portable: bool = False,
     prefilter_slack: float | None = 0.3,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate generation by banded minhash buckets, then exact Jaccard
     verification of candidates only.
@@ -339,7 +340,10 @@ def minhash_lsh_pairs(
       expression into every band struct (16× recompute) and the verify
       self-join recomputes shingling twice more. The persisted rows are
       consumed by the banding (sig), the prefilter (sig), and the verify
-      (sh); the cache is left to LRU eviction after the query runs.
+      (sh); with ``eager=True`` (default) the bounded pair result is
+      localCheckpoint-ed and the cache released before returning
+      (long-lived callers don't accumulate cached relations);
+      ``eager=False`` keeps the plan lazy and leaves the cache to LRU.
     * a small input (fewer partitions than cores) is spread with one
       round-robin repartition first — signature computation is
       embarrassingly parallel and otherwise pins to the input's file count.
@@ -360,10 +364,11 @@ def minhash_lsh_pairs(
     assert rows_per_band * bands == num_hashes
     from pyspark import StorageLevel
 
-    src = df.select(F.col(id_col), F.col(text_col))
-    target_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target_parallelism:
-        src = src.repartition(target_parallelism)
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    # signature computation is embarrassingly parallel — spread a few-file
+    # input across cores first (metadata probe, no RDD conversion)
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
 
     base = staged_shingles(src, id_col, text_col, shingle_n).withColumn(
         "sig", _minhash_of_shingles(F.col("sh"), num_hashes, portable)
@@ -426,7 +431,7 @@ def minhash_lsh_pairs(
     # array_union would materialize the union array just to count it
     shs = base.select(F.col(id_col), F.col("sh"), F.size("sh").alias("sz"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(
             shs.select(
                 F.col(id_col).alias("id_a"),
@@ -458,6 +463,11 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    base.unpersist(blocking=True)
+    return out
 
 
 def _minhash_of_shingles(sh, num_hashes: int, portable: bool = False):
@@ -631,6 +641,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     portable: bool = False,
     sig_impl: str = "expr",
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the 64-bit hash into `blocks` chunks
     (pigeonhole: d ≤ max_hamming ⇒ some chunk equal), join per block, verify
@@ -658,14 +669,14 @@ def simhash_pairs(
     chunk = -(-nbits // blocks)  # ceil: every bit must land in some block
     from pyspark import StorageLevel
 
-    src = df.select(F.col(id_col), F.col(text_col))
-    target_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target_parallelism:
-        # the per-doc simhash is the dominant cost and embarrassingly
-        # parallel — spread a small (few-file) input across cores first
-        src = src.repartition(target_parallelism)
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    # the per-doc simhash is the dominant cost and embarrassingly parallel
+    # — spread a small (few-file) input across cores first (metadata probe)
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
     # persist the narrow (id, 64-bit hash) rows: the block self-join reads
     # them twice, and recomputing the simhash is the expensive part
+    # (released under eager=True below)
     if sig_impl == "pandas":
         sh = simhash_signatures_pandas(src, text_col=text_col, id_col=id_col)
     else:
@@ -696,10 +707,15 @@ def simhash_pairs(
     # function of the pair, so filtering first is equivalent — and the dedup
     # exchange then shuffles only surviving pairs instead of every bucket
     # collision (on dense corpora that is most of the join output).
-    return (
+    out = (
         a.join(b, ["blk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist(blocking=True)
+    return out

@@ -153,7 +153,9 @@ def test_bm25_query_side_broadcasts(spark, sf_dir):
     queries = docs.where(F.col("doc_id") % 29 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
-    df = bm25_topk(docs, queries, k=5)
+    # eager=False: the default eagerly checkpoints the bounded result, which
+    # collapses the inspectable plan to a Scan ExistingRDD
+    df = bm25_topk(docs, queries, k=5, eager=False)
     plan = explain_str(df, mode="simple")
     assert plan.count("BroadcastExchange") + plan.count(
         "BroadcastNestedLoopJoin"

@@ -512,3 +512,31 @@ def test_connected_components_log_rounds_on_chain(spark):
     cc = {r.node: r.component for r in result.collect()}
     assert cc == {i: 0 for i in range(50)}
     assert 0 < executions <= 8, f"expected ≤8 one-action rounds, saw {executions}"
+
+
+def test_pair_ops_eager_release_no_leaked_cache(spark, docs):
+    """minhash_lsh_pairs / simhash_pairs default to eager mode: the bounded
+    pair result is checkpointed and the signature cache released — at most
+    the result's own storage may remain; eager=False must agree."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    sample = docs.limit(120)
+    sample.count()  # materialize the fixture's own .cache() first
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    m = minhash_lsh_pairs(sample, num_hashes=16, bands=4, threshold=0.4)
+    m.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
+    lazy = minhash_lsh_pairs(
+        sample, num_hashes=16, bands=4, threshold=0.4, eager=False
+    )
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, lazy.collect()))
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    s = simhash_pairs(sample, max_hamming=3, blocks=4)
+    s.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
+    slazy = simhash_pairs(sample, max_hamming=3, blocks=4, eager=False)
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, slazy.collect()))
