@@ -149,3 +149,30 @@ def test_vocab_ids_disjoint_and_stable(docs):
     for r in vocab:
         if not r.is_char:
             assert r.id >= len(chars)
+
+
+def test_bpe_to_pack_sequences_lossless(spark, docs):
+    """The north-star composition: text -> BPE ids -> packed fixed-length
+    training sequences, losslessly repackable back to the original pieces."""
+    from kafka_connect_gcs_spark.operators.packing import pack_sequences
+
+    merges = bpe_train(docs, num_merges=10, min_pair_count=2)
+    vocab = bpe_vocab(docs, merges)
+    enc = bpe_encode(docs, merges, vocab)
+    packed = pack_sequences(enc, 16, drop_remainder=False)
+    rows = sorted(packed.collect(), key=lambda r: r.seq_id)
+    # fixed shapes except the final remainder
+    assert all(len(r.tokens) == 16 for r in rows[:-1])
+    stream = [t for r in rows for t in r.tokens]
+    # the packed stream equals the doc-id-ordered concatenation of ids
+    enc_rows = sorted(enc.collect(), key=lambda r: r.doc_id)
+    assert stream == [t for r in enc_rows for t in r.tokens]
+    # and decoding the stream restores the concatenated corpus pieces
+    dec = bpe_decode(
+        spark.createDataFrame([(0, stream)], "doc_id long, tokens array<int>"),
+        vocab,
+    ).collect()[0]
+    expected = "".join(
+        "".join(ref_pieces(t)) for _, t in sorted(CORPUS)
+    )
+    assert dec.decoded == expected
