@@ -301,14 +301,26 @@ def bench_ops(spark, work_dir: str) -> dict:
       exclusive-prefix-sum + chunk reassembly);
     * minhash index BUILD over the same corpus (the amortized
       corpus-scale cost);
-    * a PROBE of a 10%-sized new batch against the stored index (the
-      per-micro-batch cost ∝ batch);
+    * a PROBE of a new batch against the stored index (the
+      per-micro-batch cost ∝ batch × index duplication);
     * duplicated-span stats over the replicated corpus (every gram
       duplicated R ways — substring dedup's worst case);
     * minhash-LSH all-pairs near-dup over the replicated corpus;
     * BM25 top-k retrieval (postings build over the corpus + broadcast
       query scoring);
-    * NB quality classifier train + full-corpus score."""
+    * NB quality classifier train + full-corpus score.
+
+    Input sizing is PER-OP: a scaling-efficiency measurement only means
+    anything when parallelizable work dominates the fixed per-job costs
+    (driver scheduling, 1-row collects, commit constants) — the r5 run at
+    a uniform R=24 measured exactly those constants (pack_sequences
+    "efficiency" 0.30 with ~0.8 s of actual work). Cheap ops (packing,
+    the index probe batch) therefore get proportionally LARGER inputs
+    (``SPARK_GRAFT_OPS_REPLICAS_LIGHT``, default 10×R) than the
+    gram-explosion-heavy families, targeting tens of seconds of
+    single-core work per op. dup_span_stats runs ``eager=False`` (the
+    batch-analytics mode): the default's checkpoint pass is a fixed cost
+    a one-shot measurement shouldn't carry."""
     from pyspark.sql import functions as F
 
     from kafka_connect_gcs_spark.operators.dedup_index import (
@@ -317,9 +329,13 @@ def bench_ops(spark, work_dir: str) -> dict:
     )
     from kafka_connect_gcs_spark.operators.packing import pack_sequences
 
-    R = int(os.environ.get("SPARK_GRAFT_OPS_REPLICAS", "200"))
+    R = int(os.environ.get("SPARK_GRAFT_OPS_REPLICAS", "120"))
+    R_LIGHT = int(
+        os.environ.get("SPARK_GRAFT_OPS_REPLICAS_LIGHT", str(R * 10))
+    )
     corpus = _replicated_corpus(spark, R)
-    toks = corpus.select(
+    light = _replicated_corpus(spark, R_LIGHT)
+    toks = light.select(
         "doc_id",
         F.expr(
             "transform(split(text, '\\\\s+'), "
@@ -334,7 +350,9 @@ def bench_ops(spark, work_dir: str) -> dict:
     t0 = time.time()
     minhash_index_write(corpus, idx, num_hashes=16, bands=4, shingle_n=3)
     out["dedup_index_build"] = round(time.time() - t0, 3)
-    batch = _replicated_corpus(spark, max(R // 10, 1), start=R)
+    # probe work ∝ batch docs × index duplication (every batch doc collides
+    # with all R copies of its original) — size the batch against that
+    batch = _replicated_corpus(spark, max(R // 15, 1), start=R)
     t0 = time.time()
     dedup_against_index(batch, idx, threshold=0.5).count()
     out["dedup_incremental_probe"] = round(time.time() - t0, 3)
@@ -344,7 +362,7 @@ def bench_ops(spark, work_dir: str) -> dict:
     t0 = time.time()
     # sum forces the span aggregates (count() would let Catalyst eliminate
     # the unique-keyed left join and skip the whole span subtree)
-    dup_span_stats(corpus, k=8).agg(F.sum("dup_words")).collect()
+    dup_span_stats(corpus, k=8, eager=False).agg(F.sum("dup_words")).collect()
     out["dup_spans"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs

@@ -39,6 +39,9 @@ def run_once(
         # rounds, commit) is the serial fraction; amortize it like a real
         # cluster's batch sizing would
         SPARK_GRAFT_FILES_PER_BATCH=str(files_per_batch),
+        # ops mode: one pass per level (bench.py's steal-gated noise retry
+        # still reruns a polluted pass); CDC keeps best-of-REPEATS
+        **({"SPARK_GRAFT_BENCH_REPEATS": "1"} if mode == "ops" else {}),
         # tmpfs for feed/table/shuffle: the experiment measures ENGINE
         # scaling; on this host the ext4 disk (~hundreds of MB/s shared with
         # neighbors) otherwise becomes the common bottleneck at every level
@@ -69,13 +72,26 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=4)
     ap.add_argument("--warm", type=int, default=32,
                     help="cpus for a cache-warming run (also the peak datapoint)")
-    ap.add_argument("--ops-replicas", type=int, default=200,
+    ap.add_argument("--ops-replicas", type=int, default=120,
                     help="corpus replication for the training-ops segment "
-                         "(0 skips it)")
+                         "(0 skips it); packing/probe inputs scale off it "
+                         "per-op (see bench.bench_ops)")
+    ap.add_argument("--ops-only", action="store_true",
+                    help="skip the CDC levels and reuse the cached results "
+                         "of the last full run (BENCH/scaling_cdc.json)")
     args = ap.parse_args()
 
-    peak = None
-    if args.warm:
+    cache_path = "BENCH/scaling_cdc.json"
+    if args.ops_only:
+        with open(cache_path) as f:
+            cached = json.load(f)
+        peak = cached["peak"]
+        results = {int(k): v for k, v in cached["results"].items()}
+        args.n, args.n4 = cached["n"], cached["n4"]
+        args.events, args.runs = cached["events"], cached["runs"]
+    else:
+        peak = None
+    if args.warm and not args.ops_only:
         res = run_once(args.warm, args.events)
         peak = dict(res["cdc"])
         peak["host_steal_pct"] = res.get("host_steal_pct")
@@ -85,17 +101,25 @@ def main() -> None:
             flush=True,
         )
 
-    results: dict[int, list[dict]] = {args.n: [], args.n4: []}
-    for r in range(args.runs):
-        for cpus in (args.n4, args.n):  # interleave to spread host noise
-            res = run_once(cpus, args.events)
-            rec = dict(res["cdc"])
-            rec["host_steal_pct"] = res.get("host_steal_pct")
-            results[cpus].append(rec)
-            print(
-                f"run {r} local[{cpus}]: {rec['seconds']}s "
-                f"{rec['events_per_sec']} ev/s steal={rec['host_steal_pct']}%",
-                flush=True,
+    if not args.ops_only:
+        results = {args.n: [], args.n4: []}
+        for r in range(args.runs):
+            for cpus in (args.n4, args.n):  # interleave to spread host noise
+                res = run_once(cpus, args.events)
+                rec = dict(res["cdc"])
+                rec["host_steal_pct"] = res.get("host_steal_pct")
+                results[cpus].append(rec)
+                print(
+                    f"run {r} local[{cpus}]: {rec['seconds']}s "
+                    f"{rec['events_per_sec']} ev/s steal={rec['host_steal_pct']}%",
+                    flush=True,
+                )
+        os.makedirs("BENCH", exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(
+                {"peak": peak, "results": results, "n": args.n,
+                 "n4": args.n4, "events": args.events, "runs": args.runs},
+                f,
             )
 
     best = {c: min(rs, key=lambda x: x["seconds"]) for c, rs in results.items()}
@@ -156,10 +180,15 @@ criterion is evidenced at two local parallelism levels on identical input
 
 ## Training-ops segment (same two-level protocol)
 
-Corpus: documents.parquet replicated {args.ops_replicas}× with
-replica-suffixed ids (deterministic, no external data); pack_sequences at
-L=2048, minhash index build over the full corpus, then a 10%-batch probe
-against the stored index.
+Corpus: documents.parquet replicated deterministically with
+replica-suffixed ids (no external data), sized PER OP so parallelizable
+work dominates fixed per-job costs: gram/signature-heavy families
+(minhash-LSH, BM25, span dedup, classifier, index build) at
+{args.ops_replicas}×, cheap ops (pack_sequences at L=2048) at
+{args.ops_replicas * 10}×, index probe batch at
+{max(args.ops_replicas // 15, 1)}× against the {args.ops_replicas}×
+index. One pass per level (steal-gated retry), dup_spans in lazy
+batch-analytics mode.
 
 | op | local[{args.n}] sec | local[{args.n4}] sec | speedup | efficiency |
 |---|---|---|---|---|
