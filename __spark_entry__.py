@@ -1168,6 +1168,52 @@ def q_quality_gate(spark, sf_dir):
     )
 
 
+def q_line_dedup_boilerplate(spark, sf_dir):
+    """Cross-document line dedup (operators/dedup_lines.py): boilerplate
+    lines are injected deterministically (every 3rd doc a newsletter
+    footer, every 5th a legal line, every 4th a structural blank — no
+    external data), then removed under BOTH policies; the fingerprints are
+    md5 of each rewritten doc so the oracle verifies every rebuild
+    byte-for-byte (injection → line explode → dup table → rebuild)."""
+    from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    did, t = F.col("doc_id"), F.col("text")
+    inj = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 30),
+            F.when(did % 3 == 0, F.lit("subscribe to our newsletter")),
+            F.when(did % 4 == 0, F.lit("")),
+            F.when(did % 5 == 0, F.lit("all rights reserved")),
+            F.substring(t, 31, 1000000),
+        ).alias("text"),
+    )
+    drop_all = dedup_lines(inj, policy="drop_all", min_docs=2).select(
+        "doc_id", F.md5("text").alias("fp_drop_all")
+    )
+    keep_first = dedup_lines(inj, policy="keep_first").select(
+        "doc_id", F.md5("text").alias("fp_keep_first")
+    )
+    return drop_all.join(keep_first, "doc_id")
+
+
+def q_shuffle_deterministic(spark, sf_dir):
+    """Reproducible global corpus shuffle (operators/sampling.py,
+    shuffle_corpus): dense rank 0..n-1 in (hash(id, seed), id) order with
+    NO global window — packing's two-phase distributed exclusive scan
+    assigns ranks; the oracle is a plain row_number over the same
+    portable 60-bit key, so a hash match proves the distributed scan
+    reproduces the single-node total order exactly."""
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_corpus(
+        d.select("doc_id"), seed=7, portable=True
+    ).select("doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1234,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_encode": q_tokenize_encode,
         "quality_gate": q_quality_gate,
         "bpe_encode": q_bpe_encode,
+        "line_dedup_boilerplate": q_line_dedup_boilerplate,
+        "shuffle_deterministic": q_shuffle_deterministic,
     }
 
 
@@ -2014,6 +2062,65 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_encode": _tokenize_sql(),
         "quality_gate": _quality_gate_sql(),
         "bpe_encode": _bpe_sql(),
+        "line_dedup_boilerplate": """
+          WITH inj AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                     substr(text, 1, 30),
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'subscribe to our newsletter' END,
+                     CASE WHEN doc_id % 4 = 0 THEN '' END,
+                     CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved' END,
+                     substr(text, 31, 1000000)) AS text
+            FROM documents
+          ),
+          lines AS (
+            SELECT doc_id, i - 1 AS pos, l[i] AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+                 UNNEST(generate_series(1, len(l))) AS u(i)
+          ),
+          nonblank AS (SELECT * FROM lines WHERE trim(line) <> ''),
+          dup AS (
+            SELECT line FROM nonblank
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+          ),
+          off_a AS (SELECT doc_id, pos FROM nonblank JOIN dup USING (line)),
+          off_f AS (
+            SELECT doc_id, pos FROM (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY line) AS c,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM nonblank
+            ) WHERE c >= 2 AND rn > 1
+          ),
+          keep_a AS (
+            SELECT l.* FROM lines l LEFT JOIN off_a o
+              ON l.doc_id = o.doc_id AND l.pos = o.pos
+            WHERE o.doc_id IS NULL
+          ),
+          keep_f AS (
+            SELECT l.* FROM lines l LEFT JOIN off_f o
+              ON l.doc_id = o.doc_id AND l.pos = o.pos
+            WHERE o.doc_id IS NULL
+          )
+          SELECT p.doc_id,
+                 md5(coalesce(a.t, '')) AS fp_drop_all,
+                 md5(coalesce(f.t, '')) AS fp_keep_first
+          FROM inj p
+          LEFT JOIN (SELECT doc_id,
+                            string_agg(line, chr(10) ORDER BY pos) AS t
+                     FROM keep_a GROUP BY doc_id) a USING (doc_id)
+          LEFT JOIN (SELECT doc_id,
+                            string_agg(line, chr(10) ORDER BY pos) AS t
+                     FROM keep_f GROUP BY doc_id) f USING (doc_id)
+        """,
+        "shuffle_deterministic": """
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('s7:' || doc_id), 1, 15))::BIGINT,
+                   doc_id) - 1 AS BIGINT) AS shuffle_rank
+          FROM documents
+        """,
     }
 
 

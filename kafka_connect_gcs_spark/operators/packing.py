@@ -37,15 +37,22 @@ def exclusive_prefix_sum(
     n_col: str,
     out_col: str = "start",
     num_partitions: "int | None" = None,
+    tiebreak_col: "str | None" = None,
 ) -> DataFrame:
     """(…, out_col) where out_col = sum of ``n_col`` over all rows strictly
     before this one in ``order_col`` order — a distributed exclusive scan.
 
     ``order_col`` MUST be unique (it defines the total order of the scan;
     with duplicates "strictly before" is ill-defined, and the cumsum window
-    would treat ties as peers). The window below uses an explicit ROWS
-    frame so each row still gets a distinct running total, but which
-    duplicate gets which offset would be nondeterministic — so uniqueness
+    would treat ties as peers) — UNLESS ``tiebreak_col`` is given, in which
+    case the scan order is the composite ``(order_col, tiebreak_col)`` and
+    THAT pair must be unique. Bucketing still keys on ``order_col`` alone
+    (ties land in one bucket, where the window's composite order resolves
+    them), so :func:`~kafka_connect_gcs_spark.operators.sampling
+    .shuffle_corpus` can order by a 60-bit hash and break collisions with
+    the row key. The window below uses an explicit ROWS frame so each row
+    still gets a distinct running total, but which duplicate gets which
+    offset would be nondeterministic without a tiebreak — so uniqueness
     is the caller contract (packing uses doc_id, a primary key).
 
     Keep ``df`` NARROW (the order key and the count): the relation is
@@ -79,10 +86,11 @@ def exclusive_prefix_sum(
         span = int(hi) - int(lo) + 1
         if span < 2**62:  # int64-safe arithmetic; else sampled fallback
             return _prefix_sum_bucketed(
-                df, order_col, n_col, out_col, int(lo), span, num_partitions
+                df, order_col, n_col, out_col, int(lo), span, num_partitions,
+                tiebreak_col,
             )
     return _prefix_sum_sampled_ranges(
-        df, order_col, n_col, out_col, num_partitions
+        df, order_col, n_col, out_col, num_partitions, tiebreak_col
     )
 
 
@@ -94,6 +102,7 @@ def _prefix_sum_bucketed(
     lo: int,
     span: int,
     num_partitions: "int | None",
+    tiebreak_col: "str | None" = None,
 ) -> DataFrame:
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -117,9 +126,10 @@ def _prefix_sum_bucketed(
     # explicit ROWS frame: the default RANGE frame makes duplicate order
     # values peers (all sharing one inclusive cumsum); ROWS keeps every row's
     # running total distinct even if the uniqueness contract is violated
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return src.withColumn(
@@ -138,14 +148,16 @@ def _prefix_sum_sampled_ranges(
     n_col: str,
     out_col: str,
     num_partitions: "int | None",
+    tiebreak_col: "str | None" = None,
 ) -> DataFrame:
     from pyspark import StorageLevel
 
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     part = (
-        df.repartitionByRange(P, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(P, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -163,7 +175,7 @@ def _prefix_sum_sampled_ranges(
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = part.withColumn(

@@ -235,3 +235,67 @@ def take_token_budget(
         order_col, start_col
     )
     return df.join(kept, order_col)
+
+
+def shuffle_key(key: Column, seed: int = 0, portable: bool = False) -> Column:
+    """The sortable long key behind :func:`shuffle_corpus`.
+
+    Production: ``xxhash64(key, seed) >> 4`` — the arithmetic shift keeps
+    the key span under 2^61, inside :func:`~kafka_connect_gcs_spark
+    .operators.packing.exclusive_prefix_sum`'s PURE equal-width-bucket
+    plan (int64-safe ``hi - lo + 1``), so the whole shuffle stays a lazy
+    deterministic plan with nothing persisted. Portable: the 60-bit md5
+    integer DuckDB reproduces as
+    ``('0x' || substr(md5('s{seed}:' || key), 1, 15))::BIGINT``."""
+    if portable:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{seed}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.shiftright(F.xxhash64(key, F.lit(seed)), 4)
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    out_col: str = "shuffle_rank",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Reproducible global shuffle: adds ``out_col``, a dense permutation
+    ``0..n-1`` of the rows in ``(shuffle_key(key, seed), key)`` order —
+    the training-order shuffle a data loader consumes (write with
+    ``repartitionByRange(out_col)`` + ``sortWithinPartitions(out_col)``
+    for globally shuffled, locally sorted shards).
+
+    RNG-free and total: the rank derives from a hash of the row key, so
+    retries/AQE re-plans/re-runs reproduce the identical permutation, and
+    the ``key``-column tiebreak keeps the order total even under 60-bit
+    hash collisions (guaranteed at 10^10 rows by birthday bound).
+    ``key_col`` must be unique — it is the tiebreak AND the re-attach key.
+
+    NO global window: ranks come from packing's two-phase distributed
+    exclusive scan (count 1 per row) over the narrow ``(key, hash)``
+    projection — ONE bucket-count-row collect, every heavy step
+    partition-parallel. Wide payload columns re-attach by key afterward,
+    so they are never range-shuffled by the rank assignment itself.
+    """
+    keyed = df.select(
+        F.col(key_col),
+        shuffle_key(F.col(key_col), seed, portable).alias("_sk"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    from kafka_connect_gcs_spark.operators.packing import exclusive_prefix_sum
+
+    ranked = exclusive_prefix_sum(
+        keyed,
+        "_sk",
+        "_one",
+        out_col=out_col,
+        num_partitions=num_partitions,
+        tiebreak_col=key_col,
+    )
+    return df.join(ranked.select(key_col, out_col), key_col)

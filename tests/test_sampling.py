@@ -155,3 +155,73 @@ def test_take_token_budget_matches_window_oracle(spark, docs):
     assert sorted(map(tuple, kept.collect())) == sorted(
         map(tuple, oracle.collect())
     )
+
+
+def test_shuffle_corpus_permutation_and_determinism(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    n = docs.count()
+    for portable in (False, True):
+        out = shuffle_corpus(docs, seed=3, portable=portable)
+        ranks = [r.shuffle_rank for r in out.select("shuffle_rank").collect()]
+        assert sorted(ranks) == list(range(n))  # dense 0..n-1 permutation
+        # deterministic under repartition (no RNG, no partition coupling)
+        again = {
+            (r.doc_id, r.shuffle_rank)
+            for r in shuffle_corpus(
+                docs.repartition(17), seed=3, portable=portable
+            ).collect()
+        }
+        assert {(r.doc_id, r.shuffle_rank) for r in out.collect()} == again
+        # payload columns survive the re-attach
+        assert set(out.columns) == set(docs.columns) | {"shuffle_rank"}
+
+
+def test_shuffle_corpus_seed_independence(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    a = {r.doc_id: r.shuffle_rank for r in shuffle_corpus(docs, seed=1).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in shuffle_corpus(docs, seed=2).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 0.9 * len(a)  # different seeds ≈ unrelated permutations
+
+
+def test_shuffle_corpus_matches_duckdb_row_number(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    got = sorted(
+        (r.doc_id, r.shuffle_rank)
+        for r in shuffle_corpus(docs, seed=7, portable=True).collect()
+    )
+    pdf = docs.select("doc_id").toPandas()
+    want = sorted(
+        duckdb.sql(
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY"
+            " ('0x' || substr(md5('s7:' || doc_id), 1, 15))::BIGINT, doc_id)"
+            " - 1 AS BIGINT) AS r FROM pdf"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_prefix_sum_tiebreak_resolves_duplicate_order_keys(spark):
+    """Duplicate order values with a tiebreak column produce the total
+    (order, tiebreak) scan order — the contract shuffle_corpus relies on
+    under hash collisions."""
+    from kafka_connect_gcs_spark.operators.packing import exclusive_prefix_sum
+
+    rows = [(10, "b", 1), (10, "a", 1), (20, "z", 1), (10, "c", 1), (20, "y", 1)]
+    df = spark.createDataFrame(rows, "k long, tb string, n long")
+    got = {
+        (r.k, r.tb): r.start
+        for r in exclusive_prefix_sum(
+            df, "k", "n", tiebreak_col="tb"
+        ).collect()
+    }
+    assert got == {
+        (10, "a"): 0,
+        (10, "b"): 1,
+        (10, "c"): 2,
+        (20, "y"): 3,
+        (20, "z"): 4,
+    }
