@@ -98,39 +98,90 @@ def _adjacent_pairs(syms):
     )
 
 
+def _independent_prefix(rows, max_batch: int) -> "list[tuple[str, str]]":
+    """The largest rank-order PREFIX (≤ ``max_batch``) of mutually
+    independent merges from a count snapshot's top rows.
+
+    Independent = the candidate's two symbols are disjoint from every
+    earlier batch pair's symbols AND from every earlier minted symbol,
+    and the candidate's own minted string collides with neither. Under
+    those conditions applying the earlier merges cannot create or destroy
+    any adjacency of the candidate's pair, so its snapshot count is still
+    exact when its turn comes — independent merges commute.
+
+    Walks in rank order and STOPS at the first conflict (skipping would
+    apply a pair whose snapshot count has gone stale). The first row is
+    always accepted, so progress is guaranteed whenever rows is non-empty.
+    """
+    batch: "list[tuple[str, str]]" = []
+    used: set = set()
+    minted: set = set()
+    for row in rows:
+        if len(batch) >= max_batch:
+            break
+        l, r = row["l"], row["r"]
+        m = l + r
+        if (
+            l in used or r in used or l in minted or r in minted
+            or m in used or m in minted
+        ):
+            break
+        batch.append((l, r))
+        used.update((l, r))
+        minted.add(m)
+    return batch
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
     min_pair_count: int = 2,
+    merges_per_round: int = 1,
 ) -> "list[dict]":
     """Train up to ``num_merges`` BPE merges; returns the ordered list
     ``[{"rank", "left", "right"}]`` (a bounded driver artifact).
 
-    Deterministic: the winning pair each round is the max by
-    ``(count desc, left asc, right asc)``; training stops early when no
-    adjacent pair reaches ``min_pair_count``.
+    Deterministic: candidates rank by ``(count desc, left asc, right
+    asc)``; training stops early when no adjacent pair reaches
+    ``min_pair_count``.
+
+    ``merges_per_round=P`` is the 32k-merge scale path: each round
+    collects the top ``3P`` snapshot pairs ONCE and applies the largest
+    rank-order prefix of mutually independent pairs (see
+    :func:`_independent_prefix` — independent merges commute, so every
+    applied count is exact against the single snapshot). K merges then
+    cost ~K/P pair-count aggregates instead of K. ``P=1`` reproduces the
+    classic one-merge-per-aggregate algorithm bit-for-bit (the prefix is
+    exactly the snapshot argmax).
     """
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     words = _word_table(df, text_col).localCheckpoint(eager=True)
     merges: "list[dict]" = []
-    for rank in range(num_merges):
-        best = (
+    while len(merges) < num_merges:
+        P = min(merges_per_round, num_merges - len(merges))
+        top = (
             words.where(F.size("syms") >= 2)
             .select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("c"))
             .where(F.col("c") >= min_pair_count)
             .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
+            .limit(3 * P)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        l, r = best[0]["l"], best[0]["r"]
-        merges.append({"rank": rank, "left": l, "right": r})
-        words = words.select(
-            "piece", "cnt", merge_pair_expr(F.col("syms"), l, r).alias("syms")
-        ).localCheckpoint(eager=True)
+        syms = F.col("syms")
+        for l, r in _independent_prefix(top, P):
+            merges.append({"rank": len(merges), "left": l, "right": r})
+            # chained single-reference folds apply the batch sequentially
+            # in rank order — one rewrite job per ROUND, not per merge
+            syms = merge_pair_expr(syms, l, r)
+        words = words.select("piece", "cnt", syms.alias("syms")).localCheckpoint(
+            eager=True
+        )
     return merges
 
 

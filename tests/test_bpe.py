@@ -176,3 +176,73 @@ def test_bpe_to_pack_sequences_lossless(spark, docs):
         "".join(ref_pieces(t)) for _, t in sorted(CORPUS)
     )
     assert dec.decoded == expected
+
+
+def ref_train_batched(texts, num_merges, min_pair_count=2, P=1):
+    """Pure-python reference of the BATCHED trainer: one count snapshot
+    per round, top-3P candidates, largest independent rank-order prefix
+    applied sequentially (mirrors bpe_train(merges_per_round=P))."""
+    words = Counter(p for t in texts for p in ref_pieces(t))
+    syms = {w: list(w) for w in words}
+    merges = []
+    while len(merges) < num_merges:
+        p = min(P, num_merges - len(merges))
+        pc = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        cands = sorted(
+            ((c, l, r) for (l, r), c in pc.items() if c >= min_pair_count),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[: 3 * p]
+        if not cands:
+            break
+        batch, used, minted = [], set(), set()
+        for _, l, r in cands:
+            if len(batch) >= p:
+                break
+            m = l + r
+            if (l in used or r in used or l in minted or r in minted
+                    or m in used or m in minted):
+                break
+            batch.append((l, r))
+            used.update((l, r))
+            minted.add(m)
+        for l, r in batch:
+            merges.append((l, r))
+            for w in syms:
+                if len(syms[w]) >= 2:
+                    syms[w] = _merge_once(syms[w], l, r)
+    return merges
+
+
+def test_batched_p1_reproduces_classic(docs):
+    classic = bpe_train(docs, num_merges=12, min_pair_count=2)
+    p1 = bpe_train(docs, num_merges=12, min_pair_count=2, merges_per_round=1)
+    assert classic == p1
+    ref, _ = ref_train([t for _, t in CORPUS], 12, 2)
+    assert [(m["left"], m["right"]) for m in p1] == ref
+
+
+@pytest.mark.parametrize("P", [3, 8])
+def test_batched_matches_batched_reference(docs, P):
+    got = bpe_train(docs, num_merges=16, min_pair_count=1, merges_per_round=P)
+    want = ref_train_batched([t for _, t in CORPUS], 16, 1, P=P)
+    assert [(m["left"], m["right"]) for m in got] == want
+    assert [m["rank"] for m in got] == list(range(len(want)))
+
+
+def test_batched_roundtrip_lossless(docs):
+    merges = bpe_train(docs, num_merges=16, min_pair_count=1,
+                       merges_per_round=6)
+    vocab = bpe_vocab(docs, merges)
+    enc = bpe_encode(docs, merges, vocab)
+    dec = {r.doc_id: r.decoded for r in bpe_decode(enc, vocab).collect()}
+    for doc_id, text in CORPUS:
+        assert dec[doc_id] == "".join(ref_pieces(text)), doc_id
+
+
+def test_batched_rejects_bad_round_size(docs):
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges_per_round=0)
