@@ -117,9 +117,31 @@ class CurationPipeline:
         if not segments:
             return None
         batch_id = f"{segments[0]}..{segments[-1]}"
-        t0 = time.time()
         paths = [os.path.join(self.feed_path, s) for s in segments]
         raw = self.spark.read.parquet(*paths)
+        return self.run_batch_df(raw, batch_id, segments=segments)
+
+    def run_batch_df(
+        self,
+        raw: DataFrame,
+        batch_id: str,
+        segments: "list[str] | None" = None,
+    ) -> "dict | None":
+        """One curation micro-batch over an already-loaded DataFrame — the
+        shared plan behind :meth:`run_batch` (explicit loop) and
+        :func:`run_structured_curation` (foreachBatch twin). Idempotent
+        for a fixed ``(raw, batch_id)`` pair: every stateful step degrades
+        to a no-op on replay (see module docstring), so both drivers get
+        exactly-once as long as they re-present identical rows under the
+        same batch_id — the loop derives batch_id from the segment range,
+        Structured Streaming pins file→epoch assignment in its checkpoint.
+
+        Per-batch counting is fused to TWO jobs: one union-aggregate
+        materializes the gate AND probe caches while collecting every
+        pre-survivor counter, then the survivor count materializes the
+        survivor cache both sinks reuse.
+        """
+        t0 = time.time()
         doc_cols = raw.columns
 
         # 1. gate — one map-only projection; persisted because the kept set
@@ -127,12 +149,6 @@ class CurationPipeline:
         gated = quality_gate(
             raw, text_col=self.text_col, id_col=self.id_col, **self.gate_kwargs
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        stats = gated.agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_gate_drop"),
-        ).collect()[0]
-        events_in = stats["n_in"] or 0
-        gate_dropped = int(stats["n_gate_drop"] or 0)
         kept = gated.where("keep").select(*doc_cols)
 
         # 2. exact within-batch dedup: smallest id per content hash wins
@@ -147,6 +163,7 @@ class CurationPipeline:
         # 3. near-dup probe against the stored index. exclude_batch_id makes
         # a REPLAYED batch see the pre-append index state even if the crash
         # left this batch's own rows behind (see module docstring).
+        # Persisted: the probe feeds both the counter and the anti-join.
         dups = dedup_against_index(
             kept_exact,
             self.index_path,
@@ -155,13 +172,38 @@ class CurationPipeline:
             text_col=self.text_col,
             missing_ok=True,
             exclude_batch_id=batch_id,
-        )
-        neardup_dropped = dups.count()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # counting job 1 of 2: ONE union-aggregate collects every
+        # pre-survivor counter and materializes the gate + probe caches
+        counts = {
+            r["_k"]: r
+            for r in gated.agg(
+                F.lit("gate").alias("_k"),
+                F.count(F.lit(1)).cast("long").alias("a"),
+                F.sum(
+                    F.when(F.col("keep"), 0).otherwise(1)
+                ).cast("long").alias("b"),
+            )
+            .unionByName(
+                dups.agg(
+                    F.lit("dups").alias("_k"),
+                    F.count(F.lit(1)).cast("long").alias("a"),
+                    F.lit(0).cast("long").alias("b"),
+                )
+            )
+            .collect()
+        }
+        events_in = int(counts["gate"]["a"] or 0)
+        gate_dropped = int(counts["gate"]["b"] or 0)
+        neardup_dropped = int(counts["dups"]["a"] or 0)
+
         survivors = kept_exact.join(
             F.broadcast(dups.select(F.col("doc_id").alias(self.id_col))),
             self.id_col,
             "left_anti",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # counting job 2 of 2: materializes the survivor cache both sinks reuse
         appended = survivors.count()
         exact_dropped = events_in - gate_dropped - neardup_dropped - appended
 
@@ -192,11 +234,12 @@ class CurationPipeline:
         self._maybe_fail("after_table_commit")
 
         gated.unpersist()
+        dups.unpersist()
         survivors.unpersist()
         seconds = time.time() - t0
         return {
             "batch_id": batch_id,
-            "segments": segments,
+            "segments": segments or [],
             "events_in": int(events_in),
             "gate_dropped": int(gate_dropped),
             "exact_dup_dropped": int(exact_dropped),
@@ -233,3 +276,45 @@ class CurationPipeline:
 
     def read_table(self) -> DataFrame:
         return IceboxTable.load(self.spark, self.table_path).read()
+
+
+def run_structured_curation(
+    pipeline: CurationPipeline, timeout_sec: float = 120.0
+) -> "list[dict]":
+    """Structured Streaming twin of :meth:`CurationPipeline.run_available`:
+    a file-source tail of the feed directory feeding ``foreachBatch``
+    into the SAME :meth:`~CurationPipeline.run_batch_df` plan.
+
+    Spark's streaming checkpoint pins the file→batch assignment, so after
+    a crash the restarted query re-presents IDENTICAL rows under the same
+    epoch-derived batch_id — exactly the replay contract run_batch_df's
+    marker + committed_batch_ids guards absorb. ``availableNow`` drains
+    everything visible and stops, so repeated invocations are idempotent
+    (a drained feed triggers zero epochs and appends nothing).
+
+    The lineage list returned covers only THIS invocation's epochs; the
+    durable record is the checkpoint's lineage log, same as the loop.
+    """
+    spark = pipeline.spark
+    sample = spark.read.parquet(pipeline.feed_path)
+    lineages: "list[dict]" = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        lineage = pipeline.run_batch_df(batch_df, f"ss-{epoch_id}")
+        if lineage is not None:
+            lineages.append(lineage)
+            pipeline.ckpt.append_lineage(lineage)
+
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", pipeline.max_files_per_batch)
+        .parquet(pipeline.feed_path + "/seg=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", pipeline.ckpt.dir + "/ss")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return lineages

@@ -176,3 +176,57 @@ def test_crash_mid_index_rows_is_replay_safe(spark, tmp_path, monkeypatch):
     out = resumed.run_available()
     assert out[0]["appended"] == 2 and out[0]["neardup_dropped"] == 0
     assert _table_ids(resumed) == [100, 101]
+
+
+def test_structured_streaming_twin_parity(spark, tmp_path):
+    """run_structured_curation drives the SAME run_batch_df plan through a
+    Structured Streaming file tail: final table contents and lineage
+    totals match the explicit loop over an identical feed, and a second
+    availableNow invocation is a no-op (zero epochs, table unchanged)."""
+    from kafka_connect_gcs_spark.streaming.curation import run_structured_curation
+
+    feed = str(tmp_path / "feed")
+    _write_seg(spark, feed, 0, [(1, GOOD[0], "web"), (2, GOOD[1], "web")])
+    _write_seg(
+        spark,
+        feed,
+        1,
+        [
+            (10, GOOD[2], "web"),             # survivor
+            (11, "too short", "web"),         # gate drop
+            (12, GOOD[2], "web"),             # exact dup of 10
+            (13, GOOD[0] + " today", "web"),  # near-dup of doc 1
+        ],
+    )
+    loop = _pipe(spark, tmp_path)
+    loop_lineage = loop.run_available()
+
+    ss = CurationPipeline(
+        spark,
+        feed_path=feed,
+        table_path=str(tmp_path / "ss_table"),
+        index_path=str(tmp_path / "ss_index"),
+        checkpoint_path=str(tmp_path / "ss_ckpt"),
+        max_files_per_batch=1,
+        index_params={
+            "num_hashes": 16,
+            "bands": 4,
+            "shingle_n": 3,
+            "portable": False,
+            "bucket_parts": 8,
+        },
+    )
+    ss_lineage = run_structured_curation(ss)
+
+    assert _table_ids(ss) == _table_ids(loop) == [1, 2, 10]
+    keys = ("events_in", "gate_dropped", "exact_dup_dropped",
+            "neardup_dropped", "appended")
+    totals = lambda ls: {k: sum(l[k] for l in ls) for k in keys}  # noqa: E731
+    assert totals(ss_lineage) == totals(loop_lineage)
+    # ss batch ids are epoch-derived and logged durably
+    assert [l["batch_id"] for l in ss.ckpt.lineage()] == ["ss-0", "ss-1"]
+
+    # availableNow idempotence: drained feed -> zero epochs, no new rows
+    again = run_structured_curation(ss)
+    assert again == []
+    assert _table_ids(ss) == [1, 2, 10]
