@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "tokenize_encode",
     "interval_join",
     "bpe_encode",
+    "line_dedup_boilerplate",
+    "shuffle_deterministic",
 ]
 
 
@@ -267,6 +269,26 @@ def bench_production_ops(spark) -> dict:
     classifier_score(docs_lang, w8, m8, n_buckets=1 << 18, use_bigrams=True,
                      portable=False).agg(F.sum("prob")).collect()
     out["quality_classifier_prod"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    t0 = time.time()
+    # word-per-line split = the dense-duplicate worst case (dup table ==
+    # vocabulary, every doc affected); sum(length) forces the rebuilds
+    dedup_lines(
+        d.select("doc_id", F.regexp_replace("text", " ", "\n").alias("text")),
+        policy="drop_all",
+        min_docs=3,
+    ).agg(F.sum(F.length("text"))).collect()
+    out["line_dedup_prod"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # xxhash64 production key; the sum forces the rank column
+    shuffle_corpus(d.select("doc_id"), seed=1, portable=False).agg(
+        F.sum("shuffle_rank")
+    ).collect()
+    out["shuffle_prod"] = round(time.time() - t0, 3)
     return out
 
 
@@ -402,6 +424,28 @@ def bench_ops(spark, work_dir: str) -> dict:
         corpus, w, m, n_buckets=1 << 18, use_bigrams=True, portable=False
     ).agg(F.sum("prob")).collect()
     out["quality_classifier"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
+
+    t0 = time.time()
+    # word-per-line split over the replicated corpus: every line duplicated
+    # ≥R ways, all docs affected — the dense rebuild worst case
+    dedup_lines(
+        corpus.select(
+            "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+        ),
+        policy="drop_all",
+        min_docs=3,
+    ).agg(F.sum(F.length("text"))).collect()
+    out["line_dedup"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
+
+    t0 = time.time()
+    shuffle_corpus(light.select("doc_id"), seed=1).agg(
+        F.sum("shuffle_rank")
+    ).collect()
+    out["shuffle"] = round(time.time() - t0, 3)
     return out
 
 

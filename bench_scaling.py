@@ -183,8 +183,9 @@ criterion is evidenced at two local parallelism levels on identical input
 Corpus: documents.parquet replicated deterministically with
 replica-suffixed ids (no external data), sized PER OP so parallelizable
 work dominates fixed per-job costs: gram/signature-heavy families
-(minhash-LSH, BM25, span dedup, classifier, index build) at
-{args.ops_replicas}×, cheap ops (pack_sequences at L=2048) at
+(minhash-LSH, BM25, span dedup, classifier, index build, line dedup) at
+{args.ops_replicas}×, cheap ops (pack_sequences at L=2048, the
+deterministic shuffle rank) at
 {args.ops_replicas * 10}×, index probe batch at
 {max(args.ops_replicas // 15, 1)}× against the {args.ops_replicas}×
 index. One pass per level (steal-gated retry), dup_spans in lazy
