@@ -1214,6 +1214,20 @@ def q_shuffle_deterministic(spark, sf_dir):
     ).select("doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
 
 
+def q_shard_assignment(spark, sf_dir):
+    """Training-shard export assignment (operators/shards.py,
+    assign_shards): every doc gets (shard_id, pos_in_shard) from its rank
+    in a reproducible hash shuffle — the size-bounded globally-shuffled
+    layout a data loader consumes. The oracle replays rank DIV/MOD over
+    the same portable key, proving shard membership byte-for-byte."""
+    from kafka_connect_gcs_spark.operators.shards import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_shards(
+        d.select("doc_id"), 64, key_col="doc_id", seed=3, portable=True
+    ).select("doc_id", "shard_id", "pos_in_shard")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1282,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "line_dedup_boilerplate": q_line_dedup_boilerplate,
         "shuffle_deterministic": q_shuffle_deterministic,
+        "shard_assignment": q_shard_assignment,
     }
 
 
@@ -2120,6 +2135,19 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5('s7:' || doc_id), 1, 15))::BIGINT,
                    doc_id) - 1 AS BIGINT) AS shuffle_rank
           FROM documents
+        """,
+        "shard_assignment": """
+          WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY
+                     ('0x' || substr(md5('s3:' || doc_id), 1, 15))::BIGINT,
+                     doc_id) - 1 AS rk
+            FROM documents
+          )
+          SELECT doc_id,
+                 CAST(rk // 64 AS BIGINT) AS shard_id,
+                 CAST(rk % 64 AS BIGINT) AS pos_in_shard
+          FROM r
         """,
     }
 
