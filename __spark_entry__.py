@@ -1228,6 +1228,24 @@ def q_shard_assignment(spark, sf_dir):
     ).select("doc_id", "shard_id", "pos_in_shard")
 
 
+def q_score_percentile(spark, sf_dir):
+    """Exact corpus-relative score calibration (operators/sampling.py,
+    score_percentile): every doc's percentile rank by n_chars — the
+    distributed two-phase scan again, here totalized by (score, doc_id)
+    so heavy score ties still yield one deterministic rank each. The
+    quality-threshold selector (take_top_fraction) keys off this."""
+    from kafka_connect_gcs_spark.operators.sampling import score_percentile
+
+    d = _t(spark, sf_dir, "documents")
+    return score_percentile(
+        d.select("doc_id", "n_chars"), "n_chars"
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "percentile",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1297,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_boilerplate": q_line_dedup_boilerplate,
         "shuffle_deterministic": q_shuffle_deterministic,
         "shard_assignment": q_shard_assignment,
+        "score_percentile": q_score_percentile,
     }
 
 
@@ -2148,6 +2167,14 @@ def oracle_sql() -> dict[str, str]:
                  CAST(rk // 64 AS BIGINT) AS shard_id,
                  CAST(rk % 64 AS BIGINT) AS pos_in_shard
           FROM r
+        """,
+        "score_percentile": """
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                      AS DOUBLE)
+                 / greatest(count(*) OVER () - 1, 1) AS percentile
+          FROM documents
         """,
     }
 

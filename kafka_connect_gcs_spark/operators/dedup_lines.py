@@ -151,17 +151,18 @@ def dedup_lines(
 
     affected_ids = offending.select(id_col).distinct()
 
-    # rebuild ONLY affected docs: their full line explosion minus the
-    # offending (id, pos) occurrences, reassembled in position order
-    remaining = (
-        ln.join(affected_ids, id_col)
-        .join(
-            offending.withColumn("_drop", F.lit(True)),
-            [id_col, "pos"],
-            "left",
-        )
-        .where(F.col("_drop").isNull())
+    # rebuild ONLY affected docs: semi-join the DOCUMENTS first so the
+    # rebuild re-explodes just the affected text (the corpus-scale first
+    # explosion above exists only inside the dup-table aggregate), then
+    # drop the offending (id, pos) occurrences and reassemble in order
+    affected_docs = df.select(id_col, text_col).join(
+        affected_ids, id_col, "semi"
     )
+    remaining = _lines(affected_docs, text_col, id_col).join(
+        offending.withColumn("_drop", F.lit(True)),
+        [id_col, "pos"],
+        "left",
+    ).where(F.col("_drop").isNull())
     rebuilt_text = remaining.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

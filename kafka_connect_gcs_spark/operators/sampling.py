@@ -299,3 +299,88 @@ def shuffle_corpus(
         tiebreak_col=key_col,
     )
     return df.join(ranked.select(key_col, out_col), key_col)
+
+
+def score_percentile(
+    df: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    out_col: str = "percentile",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Exact percentile rank of every row by ``score_col``: ``rank /
+    (n - 1)`` in [0, 1] over the total order ``(score, key)`` — the
+    calibration step before quality-threshold selection ("keep the top
+    20% by classifier score", DCLM-style), where absolute scores are
+    meaningless but the corpus-relative quantile is the knob.
+
+    EXACT and deterministic, not approximate: ranks come from the same
+    two-phase distributed scan as :func:`shuffle_corpus` (count 1 per
+    row; the ``key`` tiebreak totalizes duplicate scores), so the result
+    is retry/AQE-stable and replayable by a plain ``row_number`` oracle —
+    unlike ``percentile_approx``, whose error bound would make the
+    selection boundary fuzzy. An integral score column keeps the scan in
+    its pure lazy plan; doubles take the sampled-range path.
+
+    Single-row corpora get percentile 0.0. ``key_col`` must be unique.
+    """
+    from kafka_connect_gcs_spark.operators.packing import exclusive_prefix_sum
+
+    keyed = df.select(F.col(key_col), F.col(score_col)).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = exclusive_prefix_sum(
+        keyed,
+        score_col,
+        "_one",
+        out_col="_rank",
+        num_partitions=num_partitions,
+        tiebreak_col=key_col,
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    pct = ranked.crossJoin(F.broadcast(n)).select(
+        key_col,
+        (
+            F.col("_rank").cast("double")
+            / F.greatest(F.col("_n") - 1, F.lit(1)).cast("double")
+        ).alias(out_col),
+    )
+    return df.join(pct, key_col)
+
+
+def take_top_fraction(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    key_col: str = "doc_id",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Keep exactly ``floor(fraction · n)`` highest-scoring rows (ties
+    broken by key, so the kept set is deterministic): the rows whose
+    ``(score, key)`` rank is ≥ ``n − k``. The exact-count form of the
+    quality-threshold selection :func:`score_percentile` calibrates."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    from kafka_connect_gcs_spark.operators.packing import exclusive_prefix_sum
+
+    keyed = df.select(F.col(key_col), F.col(score_col)).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = exclusive_prefix_sum(
+        keyed,
+        score_col,
+        "_one",
+        out_col="_rank",
+        num_partitions=num_partitions,
+        tiebreak_col=key_col,
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    kept = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            F.col("_rank")
+            >= F.col("_n") - F.floor(F.col("_n") * F.lit(float(fraction)))
+        )
+        .select(key_col)
+    )
+    return df.join(kept, key_col)

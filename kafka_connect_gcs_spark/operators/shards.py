@@ -59,6 +59,14 @@ def assign_shards(
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
     if seed is None:
+        # the column IS the rank: require an integral type up front — a
+        # silent cast of e.g. string keys would yield NULL ranks
+        dtype = df.schema[key_col].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"seed=None uses {key_col!r} as the dense 0-based rank; "
+                f"got type {dtype} — pass a seed to hash-shuffle instead"
+            )
         ranked = df.withColumn("_rank", F.col(key_col).cast("long"))
     else:
         from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus

@@ -225,3 +225,40 @@ def test_prefix_sum_tiebreak_resolves_duplicate_order_keys(spark):
         (20, "y"): 3,
         (20, "z"): 4,
     }
+
+
+def test_score_percentile_matches_duckdb(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import score_percentile
+
+    got = sorted(
+        (r.doc_id, round(r.percentile, 9))
+        for r in score_percentile(docs, "n_tok").collect()
+    )
+    pdf = docs.select("doc_id", "n_tok").toPandas()
+    want = sorted(
+        (d, round(p, 9))
+        for d, p in duckdb.sql(
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY n_tok, doc_id)"
+            " - 1 AS DOUBLE) / greatest(count(*) OVER () - 1, 1) FROM pdf"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_take_top_fraction_exact_count(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import take_top_fraction
+
+    n = docs.count()
+    kept = take_top_fraction(docs, 0.25, "n_tok")
+    ids = {r.doc_id for r in kept.collect()}
+    assert len(ids) == n // 4
+    # the kept set IS the top-(n/4) by (score, key)
+    ordered = sorted(
+        ((r.n_tok, r.doc_id) for r in docs.collect()), reverse=True
+    )
+    want = {d for _, d in ordered[: n // 4]}
+    assert ids == want
+    assert take_top_fraction(docs, 0.0, "n_tok").count() == 0
+    assert take_top_fraction(docs, 1.0, "n_tok").count() == n
+    with pytest.raises(ValueError):
+        take_top_fraction(docs, 1.5, "n_tok")

@@ -98,3 +98,9 @@ def test_rewrite_is_deterministic(spark, seqs, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(p1).collect()))
     b = sorted(map(tuple, spark.read.parquet(p2).collect()))
     assert a == b
+
+
+def test_dense_rank_requires_integral_key(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(ValueError, match="integral|dense"):
+        assign_shards(df, 10)
