@@ -685,6 +685,42 @@ def q_ann_topk_pq(spark, sf_dir):
     )
 
 
+def q_ann_topk_pq_refined(spark, sf_dir):
+    """ADC + exact-refine two-stage PQ search (operators/pq.py,
+    pq_refine_topk — FAISS IndexRefineFlat): the ADC top-40 candidate set
+    is re-scored against full-precision vectors and re-ranked to top-10.
+    Reported as recall@10 vs in-query brute force; the oracle pins the
+    MEASURED deterministic recall at sf0.01 — materially above raw ADC's
+    (ann_topk_pq) because quantization error now only costs recall when a
+    true neighbor misses the expanded candidate set."""
+    from kafka_connect_gcs_spark.operators.pq import (
+        pq_encode,
+        pq_refine_topk,
+        pq_train,
+    )
+    from kafka_connect_gcs_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(e, num_subspaces=8, codes_per_subspace=16, iterations=3)
+    codes = pq_encode(e, books)
+    approx = pq_refine_topk(e, codes, books, q, k=10, expand=4).select(
+        "query_id", "vec_id"
+    )
+    truth = brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    hits = approx.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    base = q.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 2).alias("recall"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """RP-LSH cosine near-dup over quantized embeddings with PLANTED
     near-duplicates (vec_id < 20 cloned at +1e-3 on one dimension, ids
@@ -740,6 +776,63 @@ def q_embedding_neardup(spark, sf_dir):
         )
         .where(F.col("sim") >= 0.8)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def q_take_top_fraction(spark, sf_dir):
+    """Exact-count quality-threshold selection (operators/sampling.py,
+    take_top_fraction): keep exactly floor(0.25·n) highest-n_chars docs,
+    ties broken by doc_id — the selector score_percentile calibrates.
+    Oracle = row_number over the same (score, key) total order."""
+    from kafka_connect_gcs_spark.operators.sampling import take_top_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return take_top_fraction(d, 0.25, "n_chars").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup DECISION (operators/similarity.py,
+    semantic_dedup): the planted-clone corpus of q_embedding_neardup
+    (vec_id < 20 cloned at +1 on one quantized dim, ids offset 1e6) run
+    through the full composition — RP-LSH bucketed cosine pairs ≥ 0.8 →
+    connected components → keep the smallest id per cluster — and joined
+    back so EVERY doc gets (keep_id, is_drop). The oracle computes pairs
+    by the exact all-pairs join and the closure by a recursive CTE, so a
+    hash match proves LSH recall, the distributed CC fixpoint, and the
+    decision join in one go."""
+    from kafka_connect_gcs_spark.operators.similarity import semantic_dedup
+
+    e = _quantized(_t(spark, sf_dir, "embeddings"))
+    clones = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("q"),
+    )
+    u = e.unionByName(clones)
+    return semantic_dedup(
+        u, threshold=0.8, num_planes=4, id_col="vec_id", vec_col="q", dim=64
+    ).select("vec_id", "keep_id", "is_drop")
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-bigram LM quality score (operators/curation.py,
+    bigram_logprob): mean ln P(w_i | w_{i-1}) per doc under the corpus's
+    own bigram distribution — the order-1 CCNet perplexity filter; flags
+    scrambled word order the unigram model can't see."""
+    from kafka_connect_gcs_spark.operators.curation import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "avg_logprob",
     )
 
 
@@ -1316,6 +1409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_deterministic": q_shuffle_deterministic,
         "shard_assignment": q_shard_assignment,
         "score_percentile": q_score_percentile,
+        "take_top_fraction": q_take_top_fraction,
+        "ann_topk_pq_refined": q_ann_topk_pq_refined,
+        "semantic_dedup": q_semantic_dedup,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2175,6 +2272,97 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE)
                  / greatest(count(*) OVER () - 1, 1) AS percentile
           FROM documents
+        """,
+        # measured deterministic two-stage (ADC top-40 -> exact refine)
+        # recall@10 at sf0.01 — vs raw ADC's 0.4/0.2/0.2/0.2/0.3
+        # (ann_topk_pq); every input is a pure function of data + seeds
+        "ann_topk_pq_refined": """
+          SELECT * FROM (VALUES
+            (0::BIGINT, 7::BIGINT, 0.7::DOUBLE),
+            (1::BIGINT, 3::BIGINT, 0.3::DOUBLE),
+            (2::BIGINT, 8::BIGINT, 0.8::DOUBLE),
+            (3::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (4::BIGINT, 6::BIGINT, 0.6::DOUBLE)
+          ) AS t(query_id, hits, recall)
+        """,
+        "take_top_fraction": """
+          WITH r AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id DESC)
+                     AS rk,
+                   count(*) OVER () AS n
+            FROM documents
+          )
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+          FROM r WHERE rk <= CAST(floor(n * 0.25) AS BIGINT)
+        """,
+        "semantic_dedup": """
+          WITH RECURSIVE base AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE)*1000.0+0.5) AS BIGINT)) AS q
+            FROM embeddings
+          ),
+          u AS (
+            SELECT vec_id, q FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(range(1, 65),
+                                  i -> q[i] + CASE WHEN i-1 = vec_id % 64 THEN 1 ELSE 0 END)
+            FROM base WHERE vec_id < 20
+          ),
+          pr AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+                        / (sqrt(list_dot_product(a.q::DOUBLE[], a.q::DOUBLE[]))
+                           * sqrt(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]))), 6)
+                  >= 0.8
+          ),
+          edges AS (
+            SELECT id_a AS s, id_b AS d FROM pr
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pr
+          ),
+          reach(node, lbl) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+          ),
+          dec AS (
+            SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node
+          )
+          SELECT u.vec_id,
+                 coalesce(dec.keep_id, u.vec_id) AS keep_id,
+                 coalesce(u.vec_id <> dec.keep_id, FALSE) AS is_drop
+          FROM u LEFT JOIN dec ON u.vec_id = dec.node
+        """,
+        "bigram_logprob": f"""
+          WITH w AS (
+            SELECT doc_id, {_words_sql()} AS ws FROM documents
+          ),
+          bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])) AS bigram
+            FROM w
+          ),
+          pairs AS (
+            SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram
+          ),
+          counts AS (SELECT bigram, sum(k) AS c FROM pairs GROUP BY bigram),
+          prefix AS (
+            SELECT string_split(bigram, ' ')[1] AS w1, sum(c) AS cp
+            FROM counts GROUP BY 1
+          )
+          SELECT doc_id,
+                 CAST(sum(k) AS BIGINT) AS n_bigrams,
+                 round(sum(k * ln(c / CAST(cp AS DOUBLE))) / sum(k), 6)
+                   AS avg_logprob
+          FROM pairs
+          JOIN counts USING (bigram)
+          JOIN prefix ON string_split(bigram, ' ')[1] = prefix.w1
+          GROUP BY doc_id
         """,
     }
 

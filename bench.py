@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "bpe_encode",
     "line_dedup_boilerplate",
     "shuffle_deterministic",
+    "score_percentile",
+    "bigram_logprob",
+    "semantic_dedup",
 ]
 
 
@@ -302,16 +305,20 @@ def _replicated_corpus(spark, replicas: int, start: int = 0):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
-    reps = spark.range(start, start + replicas).select(
+    # the REPLICA RANGE is the distributed side and the 5k-doc corpus is
+    # broadcast: each task generates its slice of the replicated corpus
+    # locally, so generation scales with cores and needs NO exchange.
+    # (The first shape — parquet side distributed, range broadcast —
+    # exploded all R×5k rows inside the one-task stage of the single
+    # parquet split and then paid a full-text repartition: the 'scaling'
+    # measurement was dominated by that serial synthesizer stage.)
+    par = spark.sparkContext.defaultParallelism
+    reps = spark.range(start, start + replicas, 1, par).select(
         F.col("id").alias("_rep")
     )
-    out = docs.crossJoin(reps).select(
+    return reps.crossJoin(F.broadcast(docs)).select(
         F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
     )
-    # the broadcast cross join inherits the ONE-file parquet's single
-    # partition — every downstream op without an internal spread would
-    # run serially at any core count, inverting the scaling measurement
-    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def bench_ops(spark, work_dir: str) -> dict:
@@ -355,6 +362,13 @@ def bench_ops(spark, work_dir: str) -> dict:
     R_LIGHT = int(
         os.environ.get("SPARK_GRAFT_OPS_REPLICAS_LIGHT", str(R * 10))
     )
+    # ops whose candidate set grows QUADRATICALLY in the replica count
+    # (all-pairs LSH: every bucket holds R copies of each original, so
+    # pairs ∝ R²) get a smaller factor — R=120 put 14k pairs per original
+    # doc in flight, a pathology no real corpus has, and 912 s at local[4]
+    R_QUAD = int(
+        os.environ.get("SPARK_GRAFT_OPS_REPLICAS_QUAD", str(max(R // 3, 1)))
+    )
     corpus = _replicated_corpus(spark, R)
     light = _replicated_corpus(spark, R_LIGHT)
     toks = light.select(
@@ -389,9 +403,10 @@ def bench_ops(spark, work_dir: str) -> dict:
 
     from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
 
+    quad = _replicated_corpus(spark, R_QUAD)
     t0 = time.time()
     minhash_lsh_pairs(
-        corpus, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
+        quad, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
     ).count()
     out["minhash_lsh"] = round(time.time() - t0, 3)
 
@@ -441,8 +456,13 @@ def bench_ops(spark, work_dir: str) -> dict:
 
     from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
 
+    # the shuffle rank's per-row work is ONE xxhash64 + a skinny prefix
+    # sum — at R_LIGHT the ~6 jobs' fixed costs still dominate, so the
+    # rank gets the largest corpus (ids only; text is pruned at the
+    # generator's broadcast join)
+    heavy_ids = _replicated_corpus(spark, R_LIGHT * 8).select("doc_id")
     t0 = time.time()
-    shuffle_corpus(light.select("doc_id"), seed=1).agg(
+    shuffle_corpus(heavy_ids, seed=1).agg(
         F.sum("shuffle_rank")
     ).collect()
     out["shuffle"] = round(time.time() - t0, 3)

@@ -183,12 +183,17 @@ criterion is evidenced at two local parallelism levels on identical input
 Corpus: documents.parquet replicated deterministically with
 replica-suffixed ids (no external data), sized PER OP so parallelizable
 work dominates fixed per-job costs: gram/signature-heavy families
-(minhash-LSH, BM25, span dedup, classifier, index build, line dedup) at
-{args.ops_replicas}×, cheap ops (pack_sequences at L=2048, the
-deterministic shuffle rank) at
-{args.ops_replicas * 10}×, index probe batch at
+(BM25, span dedup, classifier, index build, line dedup) at
+{args.ops_replicas}×, pack_sequences (L=2048) at
+{args.ops_replicas * 10}×, the deterministic shuffle rank (one hash +
+a skinny prefix sum per row) at {args.ops_replicas * 80}× ids-only,
+index probe batch at
 {max(args.ops_replicas // 15, 1)}× against the {args.ops_replicas}×
-index. One pass per level (steal-gated retry), dup_spans in lazy
+index, and the quadratic-candidate all-pairs minhash-LSH at
+{max(args.ops_replicas // 3, 1)}× (bucket pairs grow ∝ replicas²).
+Replica generation itself is exchange-free and core-parallel (the
+replica range is the distributed side; the 5k-doc corpus is broadcast),
+so the measurement times the OPS, not the synthesizer. One pass per level (steal-gated retry), dup_spans in lazy
 batch-analytics mode.
 
 | op | local[{args.n}] sec | local[{args.n4}] sec | speedup | efficiency |

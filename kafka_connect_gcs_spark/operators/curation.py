@@ -246,6 +246,65 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    bigram LM — the order-1 step up from :func:`unigram_logprob` toward
+    the CCNet perplexity filter: ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) /
+    c(w_{i-1} ·)``, scored as ``sum k·ln P / n_bigrams`` over a doc's
+    bigrams. Because the LM is estimated on the corpus being scored,
+    every doc bigram has nonzero count (no smoothing needed for the
+    in-corpus score); docs whose word order is unusual FOR THIS CORPUS
+    (shuffled text, boilerplate splices, wrong-language runs) score low
+    even when their vocabulary is ordinary — exactly what the unigram
+    model cannot see. Docs with < 2 words drop out (no bigrams).
+
+    Plan shape for 100 TB: one corpus scan stages the word array, bigrams
+    collapse to DISTINCT ``(doc, bigram, k)`` pairs map-side before any
+    exchange; the bigram-count agg is map-side combined (exchange carries
+    ≈|distinct bigrams per partition|); prefix counts ``c(w ·)`` reduce
+    the bigram table again by first word. The scoring join + per-doc sum
+    shuffle the distinct pairs — the floor for an every-position
+    statistic. No broadcast of the LM: bigram vocabulary grows with the
+    corpus, so the join is a plain shuffled hash join on the bigram key.
+    """
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    bigrams = ws.select(
+        F.col(id_col),
+        F.explode(
+            # zip two EQUAL-LENGTH slices: zipping the full array against
+            # its tail pads the short side with NULL, and concat_ws skips
+            # nulls — the last word would leak through as a fake unigram
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    pairs = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("k"))
+    counts = pairs.groupBy("bigram").agg(F.sum("k").alias("c"))
+    prefix = counts.groupBy(
+        F.substring_index("bigram", " ", 1).alias("_w1")
+    ).agg(F.sum("c").alias("cp"))
+    scored = (
+        pairs.join(counts, "bigram")
+        .withColumn("_w1", F.substring_index("bigram", " ", 1))
+        .join(prefix, "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.log(F.col("c") / F.col("cp"))).alias("_lp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("_lp") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+    )
+
+
 # -- PII -----------------------------------------------------------------------
 
 

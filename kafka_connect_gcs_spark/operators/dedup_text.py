@@ -272,7 +272,9 @@ def connected_components(
             .drop("_old")
             .localCheckpoint()
         )
-        changed = obs.get["changed"]
+        # sum over ZERO rows observes NULL, not 0 — an empty edge set
+        # (no near-dup pairs at all) is converged, not divergent
+        changed = obs.get["changed"] or 0
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -398,3 +398,56 @@ def ivfpq_topk_prepartitioned(
         .select(query_id_col, id_col, _adc_score(codebooks).alias("sim"))
     )
     return topk_per_query(scored, k, query_id_col=query_id_col, id_col=id_col)
+
+
+def pq_refine_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC + exact refine — the canonical two-stage PQ search (FAISS
+    ``IndexRefineFlat``): :func:`pq_adc_topk` over the compressed codes
+    selects ``k·expand`` candidates per query, then ONLY those candidate
+    rows are re-scored against the full-precision vectors and the exact
+    top-k re-ranked. Quantization error now only costs recall when a true
+    neighbor falls outside the expanded candidate set, so recall rises
+    steeply with ``expand`` while the exact-scoring cost stays bounded at
+    |Q|·k·expand dot products — independent of corpus size.
+
+    100 TB shape: the candidate (query, id) relation is metadata-scale
+    and broadcast, so the full-precision pass is a broadcast semi-join
+    pruning the corpus scan — the corpus never shuffles; the only
+    exchange is the final bounded top-k (and the store behind ``corpus``
+    serves point-ish lookups: with :func:`ivfpq_write` the candidates
+    cluster in the probed centroid partitions)."""
+    from .similarity import cosine
+
+    cands = pq_adc_topk(
+        codes,
+        codebooks,
+        queries,
+        k=k * expand,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    qvecs = queries.select(
+        query_id_col, F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+        )
+    )
+    return topk_per_query(rescored, k, query_id_col=query_id_col, id_col=id_col)

@@ -626,3 +626,57 @@ def neardup_pairs_cosine(
         .where(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space near-duplicate REMOVAL decision (SemDeDup, Abbas
+    et al. 2023, arXiv:2303.09540): docs whose embeddings sit within
+    cosine ``threshold`` of each other are transitively clustered and all
+    but one representative per cluster marked for dropping. Returns the
+    input plus ``keep_id`` (the surviving doc of this doc's cluster — the
+    smallest id, itself for singletons) and ``is_drop``.
+
+    The paper clusters with k-means and compares within clusters; here the
+    cluster proxy is the deterministic random-hyperplane bucket of
+    :func:`neardup_pairs_cosine` (same effect — candidate pairs are
+    generated within buckets, never across the full n²), and the
+    transitive closure is :func:`~kafka_connect_gcs_spark.operators.\
+dedup_text.connected_components` (hash-to-min label propagation with
+    pointer jumping, O(log diameter) distributed rounds).
+
+    100 TB shape: the self-join is per-bucket; only qualifying PAIRS
+    (metadata-scale: two ids + a sim) reach the CC loop; the final
+    decision is a skinny (id, keep_id, drop) relation joined back to the
+    corpus on its id — embeddings and payload columns never re-shuffle.
+    """
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        neardup_dedup_decision,
+    )
+
+    pairs = neardup_pairs_cosine(
+        df,
+        threshold=threshold,
+        num_planes=num_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        exact=exact,
+    )
+    dec = neardup_dedup_decision(pairs).select(
+        F.col("doc_id").alias(id_col),
+        "keep_id",
+        F.col("drop").alias("is_drop"),
+    )
+    return df.join(dec, id_col, "left").select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+        F.coalesce(F.col("is_drop"), F.lit(False)).alias("is_drop"),
+    )

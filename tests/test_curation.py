@@ -221,3 +221,34 @@ def test_quality_gate_is_one_scan(spark, sf_dir):
     plan = explain_str(df, mode="simple")
     assert "Exchange" not in plan, plan
     assert num_python_udf_nodes(df) == 0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from kafka_connect_gcs_spark.operators.curation import bigram_logprob
+
+    df = _docs(spark, [(1, "a b c"), (2, "a b a c"), (3, "solo"), (4, "")])
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # corpus bigrams: ab(2) bc(1) ba(1) ac(1); prefixes: a.=3, b.=2
+    assert set(out) == {1, 2}  # <2-word docs have no bigrams
+    assert out[1].n_bigrams == 2
+    assert out[1].avg_logprob == pytest.approx(
+        round((math.log(2 / 3) + math.log(1 / 2)) / 2, 6), abs=1e-9
+    )
+    assert out[2].n_bigrams == 3
+    assert out[2].avg_logprob == pytest.approx(
+        round((math.log(2 / 3) + math.log(1 / 2) + math.log(1 / 3)) / 3, 6),
+        abs=1e-9,
+    )
+
+
+def test_bigram_logprob_no_null_padding_leak(spark):
+    """The last word must NOT leak through as a fake unigram 'bigram'
+    (zip_with pads the short side with NULL and concat_ws skips nulls)."""
+    from kafka_connect_gcs_spark.operators.curation import bigram_logprob
+
+    df = _docs(spark, [(1, "q r"), (2, "q r")])
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # exactly one bigram per doc; if 'r' leaked, n_bigrams would be 2
+    assert out[1].n_bigrams == 1 and out[2].n_bigrams == 1
+    # P(r|q) = 1 -> ln 1 = 0
+    assert out[1].avg_logprob == 0.0

@@ -169,3 +169,64 @@ def test_pq_string_ids_roundtrip(spark, emb, books):
     # each query's own vector is its best match (identical corpus/query ids)
     best = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     assert best == {f"q-{i}": f"doc-{i}" for i in range(3)}
+
+
+def test_refine_recall_dominates_adc(spark, emb, books):
+    """The exact-refine stage must (a) beat or match raw ADC recall vs
+    brute force and (b) return exact sims for the survivors (self-match
+    sim == 1.0 at rank 1)."""
+    from kafka_connect_gcs_spark.operators.pq import pq_refine_topk
+
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = pq_encode(emb, books)
+    truth = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in pq_adc_topk(codes, books, queries, k=10).collect()
+    }
+    refined_rows = pq_refine_topk(
+        emb, codes, books, queries, k=10, expand=4
+    ).collect()
+    refined = {(r.query_id, r.vec_id) for r in refined_rows}
+    r_adc = len(adc & truth) / len(truth)
+    r_ref = len(refined & truth) / len(truth)
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    for r in refined_rows:
+        if r.rank == 1:
+            # exact rescoring restores the true self-match at sim 1
+            assert r.vec_id == r.query_id
+            assert abs(r.sim - 1.0) < 1e-6
+
+
+def test_refine_is_exact_on_candidates(spark, books):
+    """Within the candidate set the refine output is the EXACT cosine
+    ranking — for a corpus small enough that candidates = everything,
+    refine must equal brute force row-for-row."""
+    from kafka_connect_gcs_spark.operators.pq import pq_refine_topk
+
+    base = [
+        (100 + i, [float((i * 13 + j * 3) % 7) - 3.0 for j in range(64)])
+        for i in range(12)
+    ]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, base[3][1]), (1, base[7][1])],
+        "query_id long, embedding array<double>",
+    )
+    codes = pq_encode(corpus, books)
+    # k*expand = 12 >= corpus size -> candidate set is the whole corpus
+    got = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in pq_refine_topk(corpus, codes, books, queries, k=3, expand=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in brute_force_topk(corpus, queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want

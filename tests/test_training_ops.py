@@ -540,3 +540,61 @@ def test_pair_ops_eager_release_no_leaked_cache(spark, docs):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
     slazy = simhash_pairs(sample, max_hamming=3, blocks=4, eager=False)
     assert sorted(map(tuple, s.collect())) == sorted(map(tuple, slazy.collect()))
+
+
+def test_semantic_dedup_decision(spark):
+    from kafka_connect_gcs_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),
+        (2, [10.0, 0.1, 0.0, 0.0]),   # ~1 with 1
+        (3, [10.0, 0.0, 0.1, 0.0]),   # ~1 with 1 and 2 (transitive cluster)
+        (4, [0.0, 10.0, 0.0, 0.0]),   # orthogonal singleton
+        (5, [0.0, 0.0, 7.0, 7.0]),
+        (6, [0.0, 0.0, 7.0, 7.1]),    # ~1 with 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.keep_id, r.is_drop)
+        for r in semantic_dedup(df, threshold=0.99, dim=4, exact=True).collect()
+    }
+    assert out == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),
+        4: (4, False),
+        5: (5, False),
+        6: (5, True),
+    }
+    # all input columns survive alongside the decision
+    cols = semantic_dedup(df, threshold=0.99, dim=4, exact=True).columns
+    assert cols == ["vec_id", "embedding", "keep_id", "is_drop"]
+
+
+def test_semantic_dedup_lsh_consistent_with_exact(spark, emb):
+    """LSH-path decisions must be a relaxation of the exact path: any doc
+    the LSH path drops must also be dropped by the exact path (buckets can
+    only MISS pairs, never invent them)."""
+    from kafka_connect_gcs_spark.operators.similarity import semantic_dedup
+
+    exact = {
+        r.vec_id: r.is_drop
+        for r in semantic_dedup(emb, threshold=0.8, exact=True).collect()
+    }
+    lsh = {
+        r.vec_id: r.is_drop
+        for r in semantic_dedup(emb, threshold=0.8, num_planes=4).collect()
+    }
+    assert set(lsh) == set(exact)
+    for vid, dropped in lsh.items():
+        if dropped:
+            assert exact[vid], vid
+
+
+def test_connected_components_empty_edges(spark):
+    """No near-dup pairs at all must be 'converged', not a 20-round spin:
+    an Observation sum over zero rows observes NULL, not 0."""
+    from kafka_connect_gcs_spark.operators.dedup_text import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
