@@ -653,9 +653,15 @@ dedup_text.connected_components` (hash-to-min label propagation with
     pointer jumping, O(log diameter) distributed rounds).
 
     100 TB shape: the self-join is per-bucket; only qualifying PAIRS
-    (metadata-scale: two ids + a sim) reach the CC loop; the final
-    decision is a skinny (id, keep_id, drop) relation joined back to the
-    corpus on its id — embeddings and payload columns never re-shuffle.
+    (metadata-scale: two ids + a sim) reach the CC loop. The final
+    decision is a skinny (id, keep_id, drop) relation equi-joined back
+    on the corpus id: when the dup-cluster membership is small it
+    broadcasts (AQE picks that up from the CC output's runtime size);
+    otherwise the corpus pays exactly ONE exchange on its id — the floor
+    for attaching a per-doc verdict — and callers that only need the
+    SURVIVORS should drop via a LEFT ANTI join against
+    ``dec.where(is_drop)`` instead, which prunes before any wide payload
+    moves.
     """
     from kafka_connect_gcs_spark.operators.dedup_text import (
         neardup_dedup_decision,
