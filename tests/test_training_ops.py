@@ -501,14 +501,24 @@ def test_connected_components_log_rounds_on_chain(spark):
     # count SQL executions (actions), not jobs — AQE and broadcast
     # exchanges split one action into several jobs, but each round must
     # issue exactly ONE action (the old separate convergence count was a
-    # second action per round)
+    # second action per round). Delta the MAX execution id, not
+    # executionsCount(): the status store retains at most
+    # spark.sql.ui.retainedExecutions (1000), so deep into a shared-session
+    # suite the count saturates at the cap and the delta reads 0 (the
+    # "flake" three sessions chased); execution ids increase monotonically
+    # and the newest entry always survives eviction.
     store = spark._jsparkSession.sharedState().statusStore()
     bus = spark.sparkContext._jsc.sc().listenerBus()
+
+    def max_execution_id():
+        lst = store.executionsList()
+        return lst.last().executionId() if lst.size() > 0 else -1
+
     bus.waitUntilEmpty()
-    e0 = store.executionsCount()
+    e0 = max_execution_id()
     result = connected_components(pairs, max_iterations=8)
     bus.waitUntilEmpty()
-    executions = store.executionsCount() - e0
+    executions = max_execution_id() - e0
     cc = {r.node: r.component for r in result.collect()}
     assert cc == {i: 0 for i in range(50)}
     assert 0 < executions <= 8, f"expected ≤8 one-action rounds, saw {executions}"
