@@ -836,6 +836,65 @@ def q_bigram_logprob(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py): fit hashed uni+bi-
+    gram unigram models over the German docs (target) vs the whole corpus
+    (raw), weight every doc by the smoothed log-ratio sum, and draw the
+    top-200 by Gumbel-top-k (seed 7) — sampling without replacement with
+    probability ∝ w. The oracle replays fit, weighting, noise, and the
+    draw (portable md5 buckets, deterministic per-doc Gumbel hash)."""
+    from kafka_connect_gcs_spark.operators.dsir import (
+        dsir_fit,
+        dsir_resample,
+        dsir_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("lang") == "de")
+    ratios, model = dsir_fit(target, d, n_buckets=1 << 18, portable=True)
+    w = dsir_weights(d, ratios, model)
+    return dsir_resample(w, k=200, seed=7)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py,
+    split_corpus): disjoint-and-exhaustive hash split, 90/5/5, seed 11.
+    Map-only — the oracle replays the portable hash draw and the
+    cumulative-fraction CASE per doc."""
+    from kafka_connect_gcs_spark.operators.sampling import split_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_corpus(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11, portable=True
+    )
+    return out.select("doc_id", "split")
+
+
+def q_length_batches(spark, sf_dir):
+    """Pad-efficient length-bucketed batching (operators/packing.py,
+    length_bucket_batches): bucket docs by word count (boundaries
+    24/48/72), shuffle within buckets by the portable hash, cut batches
+    of 8, pad each to its batch max. The oracle replays bucketing, the
+    within-bucket hash order, rank arithmetic, and the batch-max window."""
+    from kafka_connect_gcs_spark.operators.packing import length_bucket_batches
+    from kafka_connect_gcs_spark.operators.text import ws_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    out = length_bucket_batches(
+        d, batch_size=8, boundaries=[24, 48, 72], seed=5, portable=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "batch_idx",
+        "pos",
+        "padded_len",
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Batch-vs-lake dedup against a STORED minhash index: docs < 300 are
     the indexed corpus; the incoming batch is docs ≥ 300 plus planted
@@ -1413,6 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq_refined": q_ann_topk_pq_refined,
         "semantic_dedup": q_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
+        "dsir_select": q_dsir_select,
+        "corpus_split": q_corpus_split,
+        "length_batches": q_length_batches,
     }
 
 
@@ -2364,6 +2426,41 @@ def oracle_sql() -> dict[str, str]:
           JOIN prefix ON string_split(bigram, ' ')[1] = prefix.w1
           GROUP BY doc_id
         """,
+        "dsir_select": _dsir_sql(),
+        "corpus_split": f"""
+          SELECT doc_id,
+                 CASE WHEN u < {0.9!r} THEN 'train'
+                      WHEN u < {0.9 + 0.05!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       ('0x' || substr(md5('s11:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT
+                         / 1152921504606846976.0 AS u
+                FROM documents)
+        """,
+        "length_batches": f"""
+          WITH w AS (SELECT doc_id, len({_words_sql()}) AS n_tok
+                     FROM documents),
+          b AS (SELECT doc_id, n_tok,
+                       (n_tok > 24)::INT + (n_tok > 48)::INT
+                         + (n_tok > 72)::INT AS bucket,
+                       ('0x' || substr(md5('s5:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT
+                         % {1 << 44} AS h
+                FROM w),
+          r AS (SELECT doc_id, n_tok, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY h, doc_id) - 1 AS rk
+                FROM b)
+          SELECT doc_id,
+                 CAST(n_tok AS BIGINT) AS n_tok,
+                 CAST(bucket AS BIGINT) AS bucket,
+                 CAST(rk // 8 AS BIGINT) AS batch_idx,
+                 CAST(rk % 8 AS BIGINT) AS pos,
+                 CAST(max(n_tok) OVER (PARTITION BY bucket, rk // 8)
+                      AS BIGINT) AS padded_len
+          FROM r
+        """,
     }
 
 
@@ -2797,6 +2894,57 @@ def _dup_spans_sql(k: int = 8) -> str:
                              / CAST(len(w.ws) AS INTEGER)
                         ELSE 0.0 END, 6) AS dup_frac
       FROM w LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _dsir_sql(
+    n_buckets: int = 1 << 18, a: float = 1.0, k: int = 200, seed: int = 7
+) -> str:
+    """DuckDB replay of the whole DSIR pass (operators/dsir.py): portable
+    uni+bi-gram bucket COUNTS (multiplicity kept — multinomial models,
+    unlike the classifier's distinct set features), smoothed target/raw
+    log-ratios, per-doc importance log-weights, the deterministic per-doc
+    Gumbel noise, and the top-k draw. Raw = the full corpus, so every
+    scored bucket exists in the raw model and the unseen-bucket default
+    never fires here (it is unit-tested in tests/test_dsir.py)."""
+    bucket = "('0x' || substr(md5({g}), 1, 15))::BIGINT % " + str(n_buckets)
+    uni = bucket.format(g="g")
+    bi = bucket.format(g="ws[i] || ' ' || ws[i + 1]")
+    b = float(n_buckets)
+    h60 = float(1 << 60)
+    gumbel = (
+        "(-ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "
+        f"|| ':{seed}'), 1, 15))::BIGINT::DOUBLE + 0.5) / {h60!r})))"
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, lang, {_words_sql()} AS ws FROM documents),
+      g AS (SELECT doc_id, lang,
+                   list_transform(ws, g -> {uni})
+                   || list_transform(range(1, len(ws)), i -> {bi}) AS buckets
+            FROM w),
+      fx AS (SELECT doc_id, lang, unnest(buckets) AS bucket FROM g),
+      t AS (SELECT bucket, count(*)::DOUBLE AS t_c FROM fx
+            WHERE lang = 'de' GROUP BY bucket),
+      r AS (SELECT bucket, count(*)::DOUBLE AS r_c FROM fx GROUP BY bucket),
+      tot AS (SELECT (SELECT coalesce(sum(t_c), 0) FROM t) AS tt,
+                     (SELECT coalesce(sum(r_c), 0) FROM r) AS rt),
+      ratio AS (SELECT bucket,
+                       ln((coalesce(t_c, 0) + {a!r}) / (tt + {a * b!r}))
+                       - ln((coalesce(r_c, 0) + {a!r}) / (rt + {a * b!r}))
+                         AS log_ratio
+                FROM t FULL OUTER JOIN r USING (bucket) CROSS JOIN tot),
+      lw AS (SELECT fx.doc_id, count(*)::BIGINT AS n_grams,
+                    round(sum(ratio.log_ratio), 6) AS log_w
+             FROM fx JOIN ratio USING (bucket) GROUP BY fx.doc_id),
+      keyed AS (SELECT d.doc_id,
+                       CAST(coalesce(lw.n_grams, 0) AS BIGINT) AS n_grams,
+                       coalesce(lw.log_w, 0.0) AS log_w,
+                       round(coalesce(lw.log_w, 0.0) + {gumbel}, 6) AS key
+                FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id)
+      SELECT doc_id, n_grams, log_w, key,
+             CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM keyed ORDER BY key DESC, doc_id LIMIT {k}
     """
 
 

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "score_percentile",
     "bigram_logprob",
     "semantic_dedup",
+    "dsir_select",
+    "length_batches",
 ]
 
 

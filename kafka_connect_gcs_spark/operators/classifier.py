@@ -30,11 +30,14 @@ from kafka_connect_gcs_spark.operators.text import words
 
 def hashed_features(
     col: Column, n_buckets: int = 1 << 18, use_bigrams: bool = True,
-    portable: bool = False,
+    portable: bool = False, distinct: bool = True,
 ) -> Column:
-    """Distinct hashed feature buckets (``array<bigint>``) of a text column:
-    word unigrams plus adjacent-word bigrams, hashed into ``n_buckets``.
+    """Hashed feature buckets (``array<bigint>``) of a text column: word
+    unigrams plus adjacent-word bigrams, hashed into ``n_buckets``.
 
+    ``distinct=True`` (Bernoulli/set features, the NB classifier's shape)
+    dedups buckets per document; ``distinct=False`` keeps multiplicity
+    (multinomial bag counts — what DSIR's importance weights need).
     ``portable=True`` hashes with the md5-derived 60-bit value (the DuckDB
     oracle recomputes every bucket); default is one ``xxhash64`` per gram.
     """
@@ -49,7 +52,7 @@ def hashed_features(
 
     uni = F.transform(ws, bucket)
     if not use_bigrams:
-        return F.array_distinct(uni)
+        return F.array_distinct(uni) if distinct else uni
     n = F.size(ws)
     # pair adjacent words via zip_with(ws, shift(ws)) — an element_at(ws, i)
     # inside the lambda would re-tokenize the doc per bigram (interpreted
@@ -64,7 +67,8 @@ def hashed_features(
     bi = F.when(n >= 2, F.slice(zipped, 1, n - 1)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return F.array_distinct(F.concat(uni, bi))
+    both = F.concat(uni, bi)
+    return F.array_distinct(both) if distinct else both
 
 
 def nb_train(

@@ -324,3 +324,99 @@ def chunk_documents(
         F.size(chunk).alias("chunk_n"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int,
+    boundaries: "list[int]",
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Pad-efficient batch assembly (fairseq/T5-style length bucketing):
+    group similar-length rows, shuffle deterministically WITHIN each
+    bucket, and cut fixed-size batches so padding-to-batch-max is cheap.
+
+    Adds ``(bucket, batch_idx, pos, padded_len)`` to ``df``:
+
+    * ``bucket`` — count of ``boundaries`` strictly below ``len_col``
+      (``len(boundaries)+1`` buckets; the last catches overflow);
+    * ``(bucket, batch_idx)`` — the composite batch key; ``pos`` — the
+      row's 0-based slot; the final batch of each bucket may be short;
+    * ``padded_len`` — max ``len_col`` in the batch, i.e. the length every
+      member pads to; ``Σ(padded_len − len)`` is the padding waste the
+      bucketing minimizes.
+
+    Scale shape: within-bucket order is a hash (reproducible, RNG-free,
+    ties broken by ``id_col``), and ranks come from the two-phase
+    distributed exclusive scan over the COMPOSITE integral key
+    ``bucket·2^44 + (hash mod 2^44)`` — bucket-major, hash-minor — so the
+    scan stays equal-width-bucketed and fully partition-parallel even
+    though a ``Window.partitionBy(bucket)`` row_number would funnel each
+    length bucket (there are only dozens) through ONE reducer at 10^10
+    rows. Per-bucket start offsets are a ≤ ``n_buckets``-row aggregate
+    joined back by broadcast; ``padded_len`` is a window over
+    ``(bucket, batch_idx)`` groups bounded by ``batch_size``. Payload
+    columns re-attach by ``id_col`` and never ride the rank shuffle.
+    """
+    from kafka_connect_gcs_spark.operators.sampling import shuffle_key
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    bounds = sorted(int(b) for b in boundaries)
+    if len(bounds) != len(set(bounds)):
+        raise ValueError(f"boundaries must be distinct: {boundaries}")
+    if len(bounds) >= 1 << 18:
+        raise ValueError("too many boundaries for the composite key space")
+    SHIFT = 1 << 44
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(len_col) > b).cast("int")
+    keyed = (
+        df.select(id_col, len_col)
+        .withColumn("_bkt", bucket)
+        .withColumn(
+            "_ck",
+            F.col("_bkt").cast("long") * SHIFT
+            + F.pmod(shuffle_key(F.col(id_col), seed, portable), F.lit(SHIFT)),
+        )
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked = exclusive_prefix_sum(
+        keyed,
+        "_ck",
+        "_one",
+        out_col="_grank",
+        num_partitions=num_partitions,
+        tiebreak_col=id_col,
+    )
+    # bucket start offsets: tiny aggregate (≤ n_buckets rows) — the window
+    # below runs on that aggregate, not the data
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = counts.select(
+        "_bkt", (F.sum("_c").over(off_w) - F.col("_c")).alias("_off")
+    )
+    assigned = (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .withColumn("_rk", F.col("_grank") - F.col("_off"))
+        .select(
+            id_col,
+            len_col,
+            F.col("_bkt").alias("bucket"),
+            # integral DIV — a double `/` would lose exactness past 2^53 rows
+            F.expr(f"_rk DIV {int(batch_size)}").cast("long").alias("batch_idx"),
+            F.pmod(F.col("_rk"), F.lit(batch_size)).cast("long").alias("pos"),
+        )
+    )
+    pad_w = Window.partitionBy("bucket", "batch_idx")
+    assigned = assigned.withColumn(
+        "padded_len", F.max(len_col).over(pad_w).cast("long")
+    ).drop(len_col)
+    return df.join(assigned, id_col)

@@ -67,6 +67,44 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), seed, portable) < fraction)
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: "dict[str, float]",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: adds ``out_col``
+    naming the split each row belongs to.
+
+    ``splits`` maps name → fraction (must sum to 1); a row lands in the
+    first split whose cumulative fraction exceeds its
+    :func:`hash_bucket` draw. Pure map-side projection — no shuffle, no
+    RNG state, stable under retries — and membership is a pushed-down
+    filter when a single split is selected downstream (``WHERE split =
+    'val'`` prunes at the scan at 100 TB). Splits are disjoint and
+    exhaustive by construction.
+    """
+    names = list(splits)
+    if not names:
+        raise ValueError("splits must be non-empty")
+    fracs = [float(splits[n]) for n in names]
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive: {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {splits}")
+    u = hash_bucket(F.col(key_col), seed, portable)
+    expr, cum = F.lit(names[-1]), 0.0
+    cases = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        cases.append((cum, name))
+    for cum, name in reversed(cases):
+        expr = F.when(u < cum, name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def _rate_for(strata_col: str, rates: "dict[str, float]", default: float):
     pairs = [
         x
