@@ -372,8 +372,24 @@ def minhash_lsh_pairs(
     # input across cores first (metadata probe, no RDD conversion)
     src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
 
-    base = staged_shingles(src, id_col, text_col, shingle_n).withColumn(
-        "sig", _minhash_of_shingles(F.col("sh"), num_hashes, portable)
+    # Production keeps the cached shingle sets as xxhash64 LONGS, not
+    # strings: the verify self-join below shuffles two shingle arrays per
+    # candidate pair, and 8-byte hashes cut its shuffle bytes ~4× and make
+    # the intersect a long comparison — measured the verify stage at 466 s
+    # of a 565 s run on the replicated-corpus bench before this. Set sizes
+    # (and so the Jaccard value) are preserved short of a 64-bit collision
+    # INSIDE one document's ~100-shingle set (~1e-17 per doc). Signatures
+    # still hash the original strings, so banding/candidates are unchanged;
+    # portable=True keeps strings so the DuckDB oracle replays verbatim.
+    staged = staged_shingles(src, id_col, text_col, shingle_n)
+    sh_stored = (
+        F.col("sh") if portable
+        else F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    )
+    base = staged.select(
+        F.col(id_col),
+        sh_stored.alias("sh"),
+        _minhash_of_shingles(F.col("sh"), num_hashes, portable).alias("sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def band_bucket(bidx):
