@@ -128,24 +128,29 @@ def main() -> None:
     eff = speedup / (args.n4 / args.n)
 
     # training-ops segment (pack_sequences + incremental index dedup):
-    # same two-level protocol, per-op efficiency. One bench.py invocation
-    # per level runs all ops best-of-REPEATS in-process (warm JVM).
+    # same two-level protocol as the CDC segment, including best-of-2 —
+    # single samples on this host swing 2-4× at near-zero steal (AQE
+    # decisions, cache/JIT state; see scaling_run.log history), so a
+    # one-pass table mismeasures per-op efficiency badly. Two interleaved
+    # passes per level, per-op minimum.
     ops: dict = {}
     if args.ops_replicas:
-        ops_raw = {}
-        for cpus in (args.n4, args.n):
-            res = run_once(
-                cpus, args.events, mode="ops", ops_replicas=args.ops_replicas
-            )
-            ops_raw[cpus] = res
-            print(
-                f"ops local[{cpus}]: {res['ops']} "
-                f"steal={res.get('host_steal_pct')}%",
-                flush=True,
-            )
-        for op in ops_raw[args.n]["ops"]:
-            o_n = ops_raw[args.n]["ops"][op]
-            o_4n = ops_raw[args.n4]["ops"][op]
+        ops_raw: dict = {}
+        for rep in range(2):
+            for cpus in (args.n4, args.n):
+                res = run_once(
+                    cpus, args.events, mode="ops",
+                    ops_replicas=args.ops_replicas,
+                )
+                ops_raw.setdefault(cpus, []).append(res)
+                print(
+                    f"ops pass {rep} local[{cpus}]: {res['ops']} "
+                    f"steal={res.get('host_steal_pct')}%",
+                    flush=True,
+                )
+        for op in ops_raw[args.n][0]["ops"]:
+            o_n = min(r["ops"][op] for r in ops_raw[args.n])
+            o_4n = min(r["ops"][op] for r in ops_raw[args.n4])
             ops[op] = {
                 "t_n": o_n,
                 "t_4n": o_4n,
@@ -193,8 +198,9 @@ index, and the quadratic-candidate all-pairs minhash-LSH at
 {max(args.ops_replicas // 3, 1)}× (bucket pairs grow ∝ replicas²).
 Replica generation itself is exchange-free and core-parallel (the
 replica range is the distributed side; the 5k-doc corpus is broadcast),
-so the measurement times the OPS, not the synthesizer. One pass per level (steal-gated retry), dup_spans in lazy
-batch-analytics mode.
+so the measurement times the OPS, not the synthesizer. Two interleaved
+passes per level, per-op minimum (single samples on this host swing 2-4×
+at near-zero steal); dup_spans in lazy batch-analytics mode.
 
 | op | local[{args.n}] sec | local[{args.n4}] sec | speedup | efficiency |
 |---|---|---|---|---|

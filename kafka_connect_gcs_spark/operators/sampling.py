@@ -336,6 +336,10 @@ def shuffle_corpus(
         num_partitions=num_partitions,
         tiebreak_col=key_col,
     )
+    if df.columns == [key_col]:
+        # no payload to re-attach — the join would only shuffle both sides
+        # by key to reproduce columns ranked already has
+        return ranked.select(key_col, out_col)
     return df.join(ranked.select(key_col, out_col), key_col)
 
 
