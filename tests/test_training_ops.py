@@ -608,3 +608,21 @@ def test_connected_components_empty_edges(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_lsh_hashed_verify_matches_string_jaccard(spark, docs):
+    """Production stores the cached shingle sets as xxhash64 longs (the
+    verify join then shuffles 8-byte hashes, not strings); the reported
+    jaccard must still equal the exact string-shingle value pair-for-pair
+    (set sizes survive hashing short of an in-doc 64-bit collision)."""
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sample, n=3, threshold=0.05).collect()
+    }
+    got = minhash_lsh_pairs(
+        sample, num_hashes=16, bands=8, threshold=0.3, shingle_n=3
+    ).collect()
+    for r in got:
+        assert (r.id_a, r.id_b) in truth
+        assert r.jaccard == pytest.approx(truth[(r.id_a, r.id_b)], abs=2e-6)
