@@ -41,6 +41,11 @@ from kafka_connect_gcs_spark.operators.classifier import (  # noqa: F401
 from kafka_connect_gcs_spark.operators.curation import (  # noqa: F401
     word_ngrams,
 )
+from kafka_connect_gcs_spark.operators.dsir import gumbel_noise  # noqa: F401
+from kafka_connect_gcs_spark.operators.sampling import (  # noqa: F401
+    hash_bucket,
+    shuffle_key,
+)
 from kafka_connect_gcs_spark.operators.validate import valid_expr  # noqa: F401
 
 __all__ = [
@@ -68,5 +73,8 @@ __all__ = [
     "norm",
     "cosine",
     "rp_bucket",
+    "hash_bucket",
+    "shuffle_key",
+    "gumbel_noise",
     "valid_expr",
 ]
