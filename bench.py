@@ -372,6 +372,20 @@ def bench_ops(spark, work_dir: str) -> dict:
         os.environ.get("SPARK_GRAFT_OPS_REPLICAS_QUAD", str(max(R // 3, 1)))
     )
     corpus = _replicated_corpus(spark, R)
+    # SPARK_GRAFT_OPS_FILTER=op1,op2 runs only the named phases — the
+    # isolated-JVM protocol (scripts/ops_isolated.py) measures ONE op per
+    # process because in-session history (caches, shuffle files, heap
+    # state from earlier phases) measurably skews later phases' N vs 4N
+    # ratio in opposite directions per level
+    only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_OPS_FILTER", "").split(",")
+        if s
+    }
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
     light = _replicated_corpus(spark, R_LIGHT)
     toks = light.select(
         "doc_id",
@@ -381,93 +395,111 @@ def bench_ops(spark, work_dir: str) -> dict:
         ).alias("tokens"),
     )
     out = {}
-    t0 = time.time()
-    pack_sequences(toks, 2048).count()
-    out["pack_sequences"] = round(time.time() - t0, 3)
+    if want("pack_sequences"):
+        t0 = time.time()
+        pack_sequences(toks, 2048).count()
+        out["pack_sequences"] = round(time.time() - t0, 3)
     idx = os.path.join(work_dir, "minhash-index")
-    t0 = time.time()
-    minhash_index_write(corpus, idx, num_hashes=16, bands=4, shingle_n=3)
-    out["dedup_index_build"] = round(time.time() - t0, 3)
-    # probe work ∝ batch docs × index duplication (every batch doc collides
-    # with all R copies of its original) — size the batch against that
-    batch = _replicated_corpus(spark, max(R // 15, 1), start=R)
-    t0 = time.time()
-    dedup_against_index(batch, idx, threshold=0.5).count()
-    out["dedup_incremental_probe"] = round(time.time() - t0, 3)
+    if want("dedup_index_build"):
+        t0 = time.time()
+        minhash_index_write(corpus, idx, num_hashes=16, bands=4, shingle_n=3)
+        out["dedup_index_build"] = round(time.time() - t0, 3)
+    if want("dedup_incremental_probe"):
+        if "dedup_index_build" not in out:
+            # filtered run: build the index it probes, untimed
+            minhash_index_write(
+                corpus, idx, num_hashes=16, bands=4, shingle_n=3
+            )
+        # probe work ∝ batch docs × index duplication (every batch doc
+        # collides with all R copies of its original) — size the batch
+        # against that
+        batch = _replicated_corpus(spark, max(R // 15, 1), start=R)
+        t0 = time.time()
+        dedup_against_index(batch, idx, threshold=0.5).count()
+        out["dedup_incremental_probe"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.dedup_spans import dup_span_stats
 
-    t0 = time.time()
-    # sum forces the span aggregates (count() would let Catalyst eliminate
-    # the unique-keyed left join and skip the whole span subtree)
-    dup_span_stats(corpus, k=8, eager=False).agg(F.sum("dup_words")).collect()
-    out["dup_spans"] = round(time.time() - t0, 3)
+    if want("dup_spans"):
+        t0 = time.time()
+        # sum forces the span aggregates (count() would let Catalyst
+        # eliminate the unique-keyed left join and skip the span subtree)
+        dup_span_stats(corpus, k=8, eager=False).agg(
+            F.sum("dup_words")
+        ).collect()
+        out["dup_spans"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.dedup_text import minhash_lsh_pairs
 
-    quad = _replicated_corpus(spark, R_QUAD)
-    t0 = time.time()
-    minhash_lsh_pairs(
-        quad, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
-    ).count()
-    out["minhash_lsh"] = round(time.time() - t0, 3)
+    if want("minhash_lsh"):
+        quad = _replicated_corpus(spark, R_QUAD)
+        t0 = time.time()
+        minhash_lsh_pairs(
+            quad, num_hashes=16, bands=8, threshold=0.5, shingle_n=3
+        ).count()
+        out["minhash_lsh"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.search import bm25_topk
 
-    # deterministic query set: prefixes of the 8 lexicographically-first
-    # ORIGINAL docs (pre-replication, so the set is R-independent)
-    qrows = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .orderBy("doc_id")
-        .limit(8)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.substring("text", 1, 60).alias("qtext"),
+    if want("bm25"):
+        # deterministic query set: prefixes of the 8 lexicographically-first
+        # ORIGINAL docs (pre-replication, so the set is R-independent)
+        qrows = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(8)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.substring("text", 1, 60).alias("qtext"),
+            )
         )
-    )
-    t0 = time.time()
-    bm25_topk(corpus, qrows, k=10).count()
-    out["bm25"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_topk(corpus, qrows, k=10).count()
+        out["bm25"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.classifier import (
         classifier_score,
         nb_train,
     )
 
-    labeled = corpus.withColumn("label", F.length("text") > 800)
-    t0 = time.time()
-    w, m = nb_train(labeled, "label")
-    classifier_score(
-        corpus, w, m, n_buckets=1 << 18, use_bigrams=True, portable=False
-    ).agg(F.sum("prob")).collect()
-    out["quality_classifier"] = round(time.time() - t0, 3)
+    if want("quality_classifier"):
+        labeled = corpus.withColumn("label", F.length("text") > 800)
+        t0 = time.time()
+        w, m = nb_train(labeled, "label")
+        classifier_score(
+            corpus, w, m, n_buckets=1 << 18, use_bigrams=True, portable=False
+        ).agg(F.sum("prob")).collect()
+        out["quality_classifier"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
 
-    t0 = time.time()
-    # word-per-line split over the replicated corpus: every line duplicated
-    # ≥R ways, all docs affected — the dense rebuild worst case
-    dedup_lines(
-        corpus.select(
-            "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
-        ),
-        policy="drop_all",
-        min_docs=3,
-    ).agg(F.sum(F.length("text"))).collect()
-    out["line_dedup"] = round(time.time() - t0, 3)
+    if want("line_dedup"):
+        t0 = time.time()
+        # word-per-line split over the replicated corpus: every line
+        # duplicated ≥R ways, all docs affected — the dense rebuild worst
+        # case
+        dedup_lines(
+            corpus.select(
+                "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+            ),
+            policy="drop_all",
+            min_docs=3,
+        ).agg(F.sum(F.length("text"))).collect()
+        out["line_dedup"] = round(time.time() - t0, 3)
 
     from kafka_connect_gcs_spark.operators.sampling import shuffle_corpus
 
-    # the shuffle rank's per-row work is ONE xxhash64 + a skinny prefix
-    # sum — at R_LIGHT the ~6 jobs' fixed costs still dominate, so the
-    # rank gets the largest corpus (ids only; text is pruned at the
-    # generator's broadcast join)
-    heavy_ids = _replicated_corpus(spark, R_LIGHT * 8).select("doc_id")
-    t0 = time.time()
-    shuffle_corpus(heavy_ids, seed=1).agg(
-        F.sum("shuffle_rank")
-    ).collect()
-    out["shuffle"] = round(time.time() - t0, 3)
+    if want("shuffle"):
+        # the shuffle rank's per-row work is ONE xxhash64 + a skinny prefix
+        # sum — at R_LIGHT the ~6 jobs' fixed costs still dominate, so the
+        # rank gets the largest corpus (ids only; text is pruned at the
+        # generator's broadcast join)
+        heavy_ids = _replicated_corpus(spark, R_LIGHT * 8).select("doc_id")
+        t0 = time.time()
+        shuffle_corpus(heavy_ids, seed=1).agg(
+            F.sum("shuffle_rank")
+        ).collect()
+        out["shuffle"] = round(time.time() - t0, 3)
     return out
 
 
