@@ -56,27 +56,41 @@ def _band_bucket(sig_col, bidx: int, rows_per_band: int, portable: bool):
     return F.xxhash64(F.lit(bidx), *members).cast("string")
 
 
-def banded_signatures(
+def doc_signatures(
     df: DataFrame,
     num_hashes: int = 16,
-    bands: int = 4,
     shingle_n: int = 3,
     portable: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, sig, band, bucket) — ``bands`` rows per document."""
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
+    """(doc_id, sig) — ONE row per document, the single pass over text.
+
+    This is the expensive scan (tokenize → shingle → H minhash lanes);
+    everything band-shaped derives from its skinny output via
+    :func:`explode_bands` without touching the text again.
+    """
     # words → shingles → sig in STAGED projections: inlining the shingle
     # expression into the 16 minhash lanes re-tokenizes each doc per lane
     # (interpreted HOFs have no CSE) — measured 11× slower
-    base = staged_shingles(df, id_col, text_col, shingle_n).select(
+    return staged_shingles(df, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("doc_id"),
         _minhash_of_shingles(F.col("sh"), num_hashes, portable).alias("sig"),
     )
-    return base.select(
+
+
+def explode_bands(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, sig, band, bucket) from a ``(doc_id, sig)`` relation —
+    map-only band/bucket derivation, ``bands`` rows per document."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -93,6 +107,31 @@ def banded_signatures(
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+
+
+def banded_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    portable: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig, band, bucket) — ``bands`` rows per document."""
+    return explode_bands(
+        doc_signatures(
+            df,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            portable=portable,
+            id_col=id_col,
+            text_col=text_col,
+        ),
+        num_hashes=num_hashes,
+        bands=bands,
+        portable=portable,
+    )
 
 
 def _params_path(path: str) -> str:
@@ -227,19 +266,7 @@ def _bucket_part(bucket_parts: int):
     return F.pmod(F.xxhash64(F.col("bucket")), F.lit(bucket_parts))
 
 
-def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
-    bucket_parts = params.get("bucket_parts", 0)
-    sig_params = {k: v for k, v in params.items() if k != "bucket_parts"}
-    banded = banded_signatures(
-        df, id_col=id_col, text_col=text_col, **sig_params
-    )
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    # sigs stored once per doc (band rows all carry the same sig)
-    banded.where(F.col("band") == 0).select("doc_id", "sig").write.mode(
-        mode
-    ).parquet(os.path.join(path, "sigs"))
+def _write_buckets(banded, path, bucket_parts: int, mode: str) -> None:
     buckets = banded.select("doc_id", "band", "bucket")
     writer = buckets.write.mode(mode)
     if bucket_parts:
@@ -247,6 +274,47 @@ def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
             "bucket_part", _bucket_part(bucket_parts)
         ).write.mode(mode).partitionBy("bucket_part")
     writer.parquet(os.path.join(path, "buckets"))
+
+
+def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
+    bucket_parts = params.get("bucket_parts", 0)
+    sig_params = {k: v for k, v in params.items() if k != "bucket_parts"}
+    band_params = {
+        "num_hashes": sig_params["num_hashes"],
+        "bands": sig_params["bands"],
+        "portable": sig_params["portable"],
+    }
+    sigs_dir = os.path.join(path, "sigs")
+    if mode == "overwrite":
+        # Full build: ONE pass over document text writes sigs/ directly —
+        # nothing persisted, no band-duplicated sig arrays in a cache —
+        # then buckets/ derives from re-reading the just-written skinny
+        # sigs (H longs per doc, a map-only explode). The expensive text
+        # scan runs exactly once; the former MEMORY_AND_DISK persist of
+        # the 4×-duplicated banded relation (the build's worst-scaling
+        # phase: cache materialization ~3.2× at 4 cores vs compute's
+        # 3.6-4.5×) is gone entirely.
+        sig_only = {k: v for k, v in sig_params.items() if k != "bands"}
+        doc_signatures(df, id_col=id_col, text_col=text_col, **sig_only).write.mode(
+            mode
+        ).parquet(sigs_dir)
+        spark = df.sparkSession
+        banded = explode_bands(spark.read.parquet(sigs_dir), **band_params)
+        _write_buckets(banded, path, bucket_parts, mode)
+        return
+    # Append (incremental micro-batch): re-reading sigs/ would return the
+    # WHOLE index, not the batch, so the batch's banded relation is
+    # persisted across the two writes instead — batch-scale, bounded.
+    from pyspark import StorageLevel
+
+    banded = banded_signatures(
+        df, id_col=id_col, text_col=text_col, **sig_params
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # sigs stored once per doc (band rows all carry the same sig)
+    banded.where(F.col("band") == 0).select("doc_id", "sig").write.mode(
+        mode
+    ).parquet(sigs_dir)
+    _write_buckets(banded, path, bucket_parts, mode)
     banded.unpersist()
 
 

@@ -86,6 +86,8 @@ def dedup_lines(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Rewrite documents with duplicated lines removed; returns
     ``(id_col, text_col)`` with the SAME column names, one row per input
@@ -107,6 +109,16 @@ def dedup_lines(
     (``concat_ws`` over a per-doc sorted collect bounded by the doc's own
     line count). Everything else passes through a LEFT ANTI join against
     the narrow affected-id relation — original bytes, no rewrite cost.
+
+    With ``eager=True`` (default) the duplicate-line table is persisted,
+    counted, and BROADCAST into the mark join when it fits
+    ``max_broadcast_rows`` (the real count, not a guess) — the corpus
+    line explosion then never shuffles for the mark; and the narrow
+    ``(id, pos)`` offending relation (referenced twice downstream) is
+    checkpointed once, so the corpus is not re-exploded per consumer and
+    the duplicate-table cache is released before returning.
+    ``eager=False`` keeps the whole plan lazy (plan inspection /
+    composition) with the original shuffle joins.
     """
     if policy not in ("drop_all", "keep_first"):
         raise ValueError(f"unknown policy {policy!r}")
@@ -123,7 +135,7 @@ def dedup_lines(
             .where(F.col("_nd") >= min_docs)
             .select("line")
         )
-        offending = nonblank.join(dup, "line").select(id_col, "pos")
+        mark_keys, mark_filter = dup, None
     else:  # keep_first
         firsts = (
             nonblank.groupBy("line")
@@ -138,16 +150,29 @@ def dedup_lines(
             .where(F.col("_c") >= 2)
             .select("line", "_f")
         )
-        offending = (
-            nonblank.join(firsts, "line")
-            .where(
-                ~(
-                    (F.col(id_col) == F.col("_f.i"))
-                    & (F.col("pos") == F.col("_f.p"))
-                )
-            )
-            .select(id_col, "pos")
+        mark_keys = firsts
+        mark_filter = ~(
+            (F.col(id_col) == F.col("_f.i")) & (F.col("pos") == F.col("_f.p"))
         )
+
+    if eager:
+        from pyspark import StorageLevel
+
+        mark_keys = mark_keys.persist(StorageLevel.MEMORY_AND_DISK)
+        side = (
+            F.broadcast(mark_keys)
+            if mark_keys.count() <= max_broadcast_rows
+            else mark_keys
+        )
+    else:
+        side = mark_keys
+    offending = nonblank.join(side, "line")
+    if mark_filter is not None:
+        offending = offending.where(mark_filter)
+    offending = offending.select(id_col, "pos")
+    if eager:
+        offending = offending.localCheckpoint(eager=True)
+        mark_keys.unpersist()
 
     affected_ids = offending.select(id_col).distinct()
 

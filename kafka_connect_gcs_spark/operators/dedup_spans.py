@@ -102,6 +102,26 @@ def duplicated_gram_hashes(
     )
 
 
+def _gated_dup_hashes(gp, id_col, min_doc_freq, max_broadcast_rows):
+    """The duplicated-hash relation, persisted + counted, broadcast when it
+    fits (``(count, relation, unpersist)``): duplicated grams are usually a
+    small fraction of the corpus, and broadcasting them turns the
+    postings⨝dup mark join map-side — the full gram-postings relation (the
+    op's one corpus-sized shuffle beyond the frequency aggregate) then
+    never shuffles. Gated on the REAL count, not a guess; over the gate it
+    falls back to the shuffle join."""
+    from pyspark import StorageLevel
+
+    dup = (
+        duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
+        .select("h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = dup.count()
+    side = F.broadcast(dup) if n <= max_broadcast_rows else dup
+    return side, dup
+
+
 def dup_span_stats(
     df: DataFrame,
     k: int = 5,
@@ -110,6 +130,7 @@ def dup_span_stats(
     id_col: str = "doc_id",
     portable: bool = False,
     eager: bool = True,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Per-document duplicated-span statistics.
 
@@ -138,8 +159,18 @@ def dup_span_stats(
     gp = gram_positions(
         df, k=k, text_col=text_col, id_col=id_col, portable=portable
     ).select(id_col, "pos", "h").persist(StorageLevel.MEMORY_AND_DISK)
-    dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
-    marked = gp.join(dup.select("h"), "h").select(id_col, "pos")
+    if eager:
+        dup_side, dup_cache = _gated_dup_hashes(
+            gp, id_col, min_doc_freq, max_broadcast_rows
+        )
+    else:
+        # lazy mode promises no jobs before the caller's action — keep the
+        # shuffle join instead of counting for the broadcast gate
+        dup_side = duplicated_gram_hashes(
+            gp, id_col=id_col, min_doc_freq=min_doc_freq
+        ).select("h")
+        dup_cache = None
+    marked = gp.join(dup_side, "h").select(id_col, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     spans = (
@@ -172,6 +203,8 @@ def dup_span_stats(
     if eager:
         spans = spans.localCheckpoint(eager=True)
         gp.unpersist()
+        if dup_cache is not None:
+            dup_cache.unpersist()
 
     base = df.select(
         F.col(id_col), F.size(words(F.col(text_col))).alias("n_words")
@@ -201,6 +234,7 @@ def remove_dup_spans(
     portable: bool = False,
     out_col: str = "clean_text",
     eager: bool = True,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Drop every word covered by a duplicated span and rebuild the text.
 
@@ -218,9 +252,17 @@ def remove_dup_spans(
     gp = gram_positions(
         df, k=k, text_col=text_col, id_col=id_col, portable=portable
     ).select(id_col, "pos", "h").persist(StorageLevel.MEMORY_AND_DISK)
-    dup = duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
+    if eager:
+        dup_side, dup_cache = _gated_dup_hashes(
+            gp, id_col, min_doc_freq, max_broadcast_rows
+        )
+    else:
+        dup_side = duplicated_gram_hashes(
+            gp, id_col=id_col, min_doc_freq=min_doc_freq
+        ).select("h")
+        dup_cache = None
     covered = (
-        gp.join(dup.select("h"), "h")
+        gp.join(dup_side, "h")
         .select(
             id_col,
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos"),
@@ -231,6 +273,8 @@ def remove_dup_spans(
     if eager:
         covered = covered.localCheckpoint(eager=True)
         gp.unpersist()
+        if dup_cache is not None:
+            dup_cache.unpersist()
     ws = words(F.col(text_col))
     kept = F.filter(
         F.zip_with(
