@@ -421,10 +421,14 @@ def bench_ops(spark, work_dir: str) -> dict:
     from kafka_connect_gcs_spark.operators.dedup_spans import dup_span_stats
 
     if want("dup_spans"):
+        # SPARK_GRAFT_DUP_SPANS_EAGER=1 measures the production default
+        # (broadcast-gated mark join + checkpoint); unset keeps the lazy
+        # batch-analytics plan
+        span_eager = os.environ.get("SPARK_GRAFT_DUP_SPANS_EAGER") == "1"
         t0 = time.time()
         # sum forces the span aggregates (count() would let Catalyst
         # eliminate the unique-keyed left join and skip the span subtree)
-        dup_span_stats(corpus, k=8, eager=False).agg(
+        dup_span_stats(corpus, k=8, eager=span_eager).agg(
             F.sum("dup_words")
         ).collect()
         out["dup_spans"] = round(time.time() - t0, 3)

@@ -96,19 +96,27 @@ def main() -> None:
         results[op] = rec
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", "scaling_ops_isolated.json")
+    # Partial reruns (--ops a,b) merge into the existing table so the
+    # untouched ops keep their published measurements.
+    merged: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f).get("results", {})
+    merged.update(results)
     payload = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "protocol": "one op per JVM, local[4] then local[1] back-to-back, "
         f"{args.passes} pass(es), per-level min",
         "replicas": args.replicas,
-        "results": results,
+        "results": merged,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling_ops_isolated.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 
     print("\n| op | local[1] sec | local[4] sec | speedup | efficiency |")
     print("|---|---|---|---|---|")
-    for op, r in results.items():
+    for op, r in merged.items():
         print(
             f"| {op} | {r['best_n']} | {r['best_4n']} | {r['speedup']}x "
             f"| {r['efficiency']} |"
