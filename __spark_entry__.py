@@ -1398,6 +1398,101 @@ def q_score_percentile(spark, sf_dir):
     )
 
 
+def q_hll_distinct_grams(spark, sf_dir):
+    """Mergeable HyperLogLog distinct count (operators/sketches.py) over
+    the corpus's word 3-grams: 256 registers, exact-integer indicator sum,
+    comparison-ladder leading-zero rank — the groupBy shuffles ≤256 rows
+    per partition no matter the corpus. The oracle replays registers AND
+    the estimate formula; exact_distinct pins the accuracy."""
+    from kafka_connect_gcs_spark.operators.curation import word_ngrams
+    from kafka_connect_gcs_spark.operators.sketches import hll_distinct
+    from kafka_connect_gcs_spark.operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(words(F.col("text")).alias("_ws")).select(
+        F.explode(word_ngrams(F.col("_ws"), 3)).alias("gram")
+    )
+    est = hll_distinct(g, "gram", num_registers=256, portable=True)
+    exact = g.agg(F.count_distinct(F.col("gram")).alias("exact_distinct"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(256).cast("long").alias("num_registers"),
+            "zero_registers",
+            "sum_scaled",
+            "estimate",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.py): a 4×1024-cell
+    frequency sketch of word occurrences (fixed-size exchange), probed for
+    the top-20 exact words — the one-sided guarantee cm_est ≥ exact_cnt is
+    visible in the output. Sketches merge across shards by cell sum."""
+    from kafka_connect_gcs_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+    from kafka_connect_gcs_spark.operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(words(F.col("text"))).alias("word"))
+    sk = countmin_sketch(w, "word", depth=4, width=1024, portable=True)
+    top = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "word")
+        .limit(20)
+    )
+    est = countmin_lookup(
+        sk, top.select("word"), "word", depth=4, width=1024, portable=True
+    )
+    return top.join(est, "word").select(
+        "word",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cm_est").cast("long").alias("cm_est"),
+    )
+
+
+def q_neardup_keep_best(spark, sf_dir):
+    """Quality-aware dedup decision (operators/dedup_text.py,
+    neardup_keep_best): same near-dup graph as neardup_components, but the
+    LONGEST doc per cluster survives (tie → min id) — the production keep
+    rule. Oracle = recursive-CTE closure + per-component argmax window."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        neardup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(d.select("doc_id", "text"), n=1, threshold=0.5)
+    dec = neardup_keep_best(
+        pairs, d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    )
+    return dec.select("doc_id", "keep_id", "is_drop")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain frequency cap (operators/sampling.py, cap_per_key): at
+    most 12 docs per source, survivors = the 12 smallest (hash, id) per
+    key — deterministic under retries and incremental extension. The
+    Arrow-batched pre-cap bounds what a hot domain ships into the window
+    exchange; the oracle is the plain ranked window."""
+    from kafka_connect_gcs_spark.operators.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_key(d, "source", 12, id_col="doc_id", portable=True).select(
+        "doc_id", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1475,11 +1570,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "corpus_split": q_corpus_split,
         "length_batches": q_length_batches,
+        "hll_distinct_grams": q_hll_distinct_grams,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "neardup_keep_best": q_neardup_keep_best,
+        "domain_cap": q_domain_cap,
     }
 
 
 def _words_sql(col: str = "text") -> str:
     return f"list_filter(string_split_regex(lower({col}), '\\s+'), w -> w <> '')"
+
+
+def _hll_sql(m: int = 256, width: int = 52, cap: int = 40) -> str:
+    """DuckDB replay of the ENTIRE portable HLL pipeline over word 3-grams
+    (operators/sketches.py): md5-60bit hash → register/leading-zero-rank
+    (exact comparison ladder, no float log2) → exact-integer indicator sum
+    → the estimate formula with the SAME inlined alpha·m²·2^R literal, so
+    the one float division agrees bit-for-bit; both the small-range
+    linear-counting branch and the raw branch round to 4 decimals."""
+    p = m.bit_length() - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    lit = alpha * m * m * float(1 << cap)
+    ladder = " ".join(
+        f"WHEN rest >= {1 << (width - rho)} THEN {rho}"
+        for rho in range(1, min(width, cap - 1) + 1)
+    )
+    return f"""
+          WITH ws AS (
+            SELECT {_words_sql()} AS ws FROM documents
+          ), g AS (
+            SELECT unnest(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+            FROM ws
+          ), h AS (
+            SELECT ('0x' || substr(md5('hll0:' || gram), 1, 15))::BIGINT AS h
+            FROM g
+          ), reg AS (
+            SELECT register, max(CASE {ladder} ELSE {min(width + 1, cap)} END) AS rho
+            FROM (SELECT (h & {m - 1}) AS register, (h >> {p}) AS rest FROM h)
+            GROUP BY register
+          ), agg AS (
+            SELECT count(*)::BIGINT AS nz,
+                   CAST(sum(1::BIGINT << ({cap} - rho)) AS BIGINT) AS s_obs
+            FROM reg
+          ), fin AS (
+            SELECT ({m} - nz)::BIGINT AS zeros,
+                   (coalesce(s_obs, 0) + ({m} - nz) * (1::BIGINT << {cap}))::BIGINT
+                     AS sum_scaled
+            FROM agg
+          ), est AS (
+            SELECT zeros, sum_scaled,
+                   round(CASE WHEN ({lit!r} / sum_scaled::DOUBLE) <= {2.5 * m!r}
+                              AND zeros > 0
+                         THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
+                         ELSE {lit!r} / sum_scaled::DOUBLE END, 4) AS estimate
+            FROM fin
+          ), ex AS (
+            SELECT count(DISTINCT gram)::BIGINT AS exact_distinct FROM g
+          )
+          SELECT {m}::BIGINT AS num_registers, zeros AS zero_registers,
+                 sum_scaled, estimate, exact_distinct,
+                 round(abs(estimate - exact_distinct) / exact_distinct::DOUBLE,
+                       4) AS rel_error
+          FROM est CROSS JOIN ex
+        """
 
 
 def _minhash_lsh_sql(num_hashes=16, bands=8, threshold=0.5, max_doc_id=1000) -> str:
@@ -2460,6 +2614,81 @@ def oracle_sql() -> dict[str, str]:
                  CAST(max(n_tok) OVER (PARTITION BY bucket, rk // 8)
                       AS BIGINT) AS padded_len
           FROM r
+        """,
+        "hll_distinct_grams": _hll_sql(),
+        "heavy_hitters_cms": f"""
+          WITH w AS (
+            SELECT unnest({_words_sql()}) AS word FROM documents
+          ),
+          top AS (
+            SELECT word, c FROM (
+              SELECT word, count(*)::BIGINT AS c,
+                     row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+              FROM w GROUP BY word) WHERE rn <= 20
+          ),
+          cells AS (
+            SELECT w.word, t.j,
+                   ('0x' || substr(md5('cm0:' || t.j || ':' || w.word), 1, 15))::BIGINT
+                     % 1024 AS idx
+            FROM w CROSS JOIN range(4) t(j)
+          ),
+          sk AS (
+            SELECT j, idx, count(*)::BIGINT AS cnt FROM cells GROUP BY j, idx
+          ),
+          probe AS (
+            SELECT top.word, t.j,
+                   ('0x' || substr(md5('cm0:' || t.j || ':' || top.word), 1, 15))::BIGINT
+                     % 1024 AS idx
+            FROM top CROSS JOIN range(4) t(j)
+          ),
+          est AS (
+            SELECT probe.word,
+                   CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+            FROM probe LEFT JOIN sk USING (j, idx) GROUP BY probe.word
+          )
+          SELECT top.word, top.c AS exact_cnt, est.cm_est
+          FROM top JOIN est USING (word)
+        """,
+        "neardup_keep_best": f"""
+          WITH RECURSIVE w AS (
+            SELECT doc_id, list_distinct({_words_sql()}) AS sh, n_chars
+            FROM documents WHERE doc_id < 120
+          ), pr AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                  THEN len(list_intersect(a.sh, b.sh))
+                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                  ELSE 0.0 END >= 0.5
+          ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pr
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pr
+          ), reach(node, lbl) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+          ), comp AS (
+            SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+          ), scored AS (
+            SELECT c.node, c.comp, w.n_chars
+            FROM comp c JOIN w ON w.doc_id = c.node
+          ), best AS (
+            SELECT comp, node AS keep_id FROM (
+              SELECT comp, node, row_number() OVER (
+                PARTITION BY comp ORDER BY n_chars DESC, node) AS rn
+              FROM scored) WHERE rn = 1
+          )
+          SELECT s.node AS doc_id, b.keep_id, (s.node <> b.keep_id) AS is_drop
+          FROM scored s JOIN best b USING (comp)
+        """,
+        "domain_cap": """
+          SELECT doc_id, source FROM (
+            SELECT doc_id, source, row_number() OVER (
+              PARTITION BY source
+              ORDER BY ('0x' || substr(md5('s0:' || doc_id), 1, 15))::BIGINT
+                       / 1152921504606846976.0, doc_id) AS rk
+            FROM documents) WHERE rk <= 12
         """,
     }
 

@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dsir_select",
     "length_batches",
+    "hll_distinct_grams",
+    "heavy_hitters_cms",
+    "domain_cap",
 ]
 
 

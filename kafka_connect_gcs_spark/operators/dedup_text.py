@@ -309,6 +309,52 @@ def neardup_dedup_decision(
     )
 
 
+def neardup_keep_best(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup decision: within each near-dup cluster keep the
+    HIGHEST-scoring document (tie → smallest id), not the smallest id.
+
+    The production choice for training corpora — clusters usually contain
+    one clean original plus boilerplate-wrapped mirrors, and keep-min
+    picks whichever crawled first. Composition: transitive closure via
+    :func:`connected_components`, then one groupBy per cluster with a
+    type-agnostic ``min_by(node, struct(-score, node))`` argmax (highest
+    score, then the id's natural ordering — strings included).
+
+    Scale shape: the cluster table is ≤ one row per PAIRED doc (tiny next
+    to the corpus), so the score join touches only clustered ids and the
+    argmax groupBy moves ≤ |clustered| narrow rows. Returns ``(doc_id,
+    keep_id, is_drop)``; unpaired docs never appear (callers left-join
+    and default keep).
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    labeled = cc.join(
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).cast("double").alias("_s")
+        ),
+        "node",
+    )
+    best = labeled.groupBy("component").agg(
+        F.min_by(
+            F.col("node"), F.struct((-F.col("_s")).alias("neg_s"), F.col("node"))
+        ).alias("keep_id")
+    )
+    return (
+        cc.join(best, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "keep_id",
+            (F.col("node") != F.col("keep_id")).alias("is_drop"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

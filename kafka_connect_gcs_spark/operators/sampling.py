@@ -426,3 +426,59 @@ def take_top_fraction(
         .select(key_col)
     )
     return df.join(kept, key_col)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = False,
+    partial: bool = True,
+) -> DataFrame:
+    """Frequency cap: keep at most ``max_rows`` rows per ``key_col`` value
+    (the CommonCrawl-style per-domain cap), chosen DETERMINISTICALLY — the
+    survivors are the ``max_rows`` smallest ``(hash_bucket(id), id)`` per
+    key, so reruns, retries, and incremental extensions agree on the kept
+    set and the cap composes with every other hash-keyed decision here.
+
+    Scale shape: the exact rank needs one shuffle on the key (a window),
+    but with ``partial=True`` (default) an Arrow-batched per-batch pre-cap
+    runs first: within each in-memory batch only the ``max_rows`` best
+    rows per key survive, which is a superset of the global winners (a row
+    outranked ``max_rows`` times within one batch is outranked globally),
+    so a 100k-page domain ships ≤ max_rows per batch into the exchange
+    instead of 100k — the hot-domain skew never reaches the shuffle. The
+    pre-cap is vectorized pandas (groupby.rank), no per-row Python.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be ≥ 1: {max_rows}")
+    u = hash_bucket(F.col(id_col), seed, portable)
+    work = df.withColumn("_u", u)
+    if partial:
+        import pandas as pd  # noqa: F401
+
+        fields = work.schema.fieldNames()
+
+        def precap(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                rk = (
+                    pdf.sort_values(["_u", id_col])
+                    .groupby(key_col, sort=False)
+                    .cumcount()
+                )
+                yield pdf.loc[rk[rk < max_rows].index, fields]
+
+        work = work.mapInPandas(precap, schema=work.schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("_u"), F.col(id_col))
+    return (
+        work.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_rows)
+        .drop("_u", "_rk")
+    )

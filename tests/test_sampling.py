@@ -262,3 +262,56 @@ def test_take_top_fraction_exact_count(spark, docs):
     assert take_top_fraction(docs, 1.0, "n_tok").count() == n
     with pytest.raises(ValueError):
         take_top_fraction(docs, 1.5, "n_tok")
+
+
+def test_cap_per_key_exact_cap_and_partial_equivalence(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import cap_per_key
+
+    capped = cap_per_key(docs, "source", 50, id_col="doc_id", partial=True)
+    exact = cap_per_key(docs, "source", 50, id_col="doc_id", partial=False)
+    got = {r.source: r.c for r in capped.groupBy("source").count()
+           .withColumnRenamed("count", "c").collect()}
+    assert got == {"web": 50, "books": 50, "code": 50}
+    # the per-batch pre-cap must not change the kept set
+    assert sorted(r.doc_id for r in capped.collect()) == sorted(
+        r.doc_id for r in exact.collect()
+    )
+    # deterministic across reruns
+    again = cap_per_key(docs, "source", 50, id_col="doc_id")
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in capped.collect()
+    )
+
+
+def test_cap_per_key_matches_duckdb_portable(spark, docs):
+    from kafka_connect_gcs_spark.operators.sampling import cap_per_key
+
+    kept = sorted(
+        r.doc_id
+        for r in cap_per_key(
+            docs, "source", 7, id_col="doc_id", portable=True
+        ).collect()
+    )
+    pdf = docs.toPandas()
+    want = sorted(
+        duckdb.sql(
+            """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source
+                ORDER BY ('0x' || substr(md5('s0:' || doc_id), 1, 15))::BIGINT
+                         / 1152921504606846976.0, doc_id) AS rk
+              FROM pdf) WHERE rk <= 7
+            """
+        ).df()["doc_id"]
+    )
+    assert kept == want
+
+
+def test_cap_per_key_under_cap_keys_untouched(spark):
+    from kafka_connect_gcs_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "source string, doc_id long"
+    )
+    assert cap_per_key(df, "source", 10, id_col="doc_id").count() == 3

@@ -626,3 +626,34 @@ def test_lsh_hashed_verify_matches_string_jaccard(spark, docs):
     for r in got:
         assert (r.id_a, r.id_b) in truth
         assert r.jaccard == pytest.approx(truth[(r.id_a, r.id_b)], abs=2e-6)
+
+
+def test_neardup_keep_best_argmax_and_ties(spark):
+    """Quality-aware decision: highest score survives per cluster, ties
+    fall back to the smallest id; string ids work (type-agnostic argmax)."""
+    from kafka_connect_gcs_spark.operators.dedup_text import neardup_keep_best
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4), (20, 0.2), (21, 0.8)],
+        "doc_id long, score double",
+    )
+    dec = {
+        r.doc_id: (r.keep_id, r.is_drop)
+        for r in neardup_keep_best(pairs, scores).collect()
+    }
+    assert dec[2] == (2, False) and dec[1] == (2, True) and dec[3] == (2, True)
+    assert dec[10] == (10, False) and dec[11] == (10, True)  # tie -> min id
+    assert dec[21] == (21, False) and dec[20] == (21, True)
+
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    sscores = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 2.0)], "doc_id string, score double"
+    )
+    sdec = {
+        r.doc_id: r.keep_id for r in neardup_keep_best(spairs, sscores).collect()
+    }
+    assert sdec == {"a": "c", "b": "c", "c": "c"}
