@@ -1493,6 +1493,66 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination probe (operators/sketches.py): the
+    benchmark side (doc_id % 7 == 0) builds a 2^17-bit / 5-hash Bloom set
+    of its distinct word 3-grams — a FIXED-size bit table no matter the
+    benchmark, packed into one broadcast row — and every remaining doc
+    counts its grams map-side against the bitmap inside a HOF lambda
+    (zero exchange on the 100 TB probe side). ``n_member`` is the exact
+    overlap: the no-false-negative guarantee ``n_flagged >= n_member`` is
+    visible per row, and the slack is the fp rate. Oracle replays the
+    md5 bit positions, the packed set, and the probe."""
+    from kafka_connect_gcs_spark.operators.curation import word_ngrams
+    from kafka_connect_gcs_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_pack,
+    )
+    from kafka_connect_gcs_spark.operators.text import words
+
+    m, k = 1 << 17, 5
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", words(F.col("text")).alias("_ws"))
+    bench_grams = (
+        ws.where(F.col("doc_id") % 7 == 0)
+        .select(F.explode(word_ngrams(F.col("_ws"), 3)).alias("gram"))
+        .distinct()
+    )
+    packed = bloom_pack(
+        spark, bloom_build(bench_grams, "gram", m, k, portable=True), m
+    )
+    pg = ws.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("_ws"), 3)).alias("_gs")
+    )
+    flagged = pg.crossJoin(F.broadcast(packed)).select(
+        "doc_id",
+        F.size("_gs").cast("long").alias("n_grams"),
+        F.size(
+            F.filter(
+                "_gs",
+                lambda g: bloom_maybe_contains(
+                    g, F.col("bloom"), m, k, portable=True
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    exact = (
+        pg.select("doc_id", F.explode("_gs").alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nm"))
+    )
+    return flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_flagged",
+        F.coalesce(F.col("_nm"), F.lit(0)).cast("long").alias("n_member"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1574,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "neardup_keep_best": q_neardup_keep_best,
         "domain_cap": q_domain_cap,
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -2690,7 +2751,57 @@ def oracle_sql() -> dict[str, str]:
                        / 1152921504606846976.0, doc_id) AS rk
             FROM documents) WHERE rk <= 12
         """,
+        "bloom_decontaminate": _bloom_sql(),
     }
+
+
+def _bloom_sql(m: int = 1 << 17, k: int = 5) -> str:
+    """DuckDB replay of the ENTIRE Bloom decontamination pipeline
+    (q_bloom_decontaminate): benchmark distinct 3-grams → md5-60bit
+    positions mod m for 5 slots → the distinct set-bit table → probe each
+    remaining doc's distinct grams (all k positions present = flagged) →
+    per-doc flagged / exact-member counts."""
+    gram = (
+        "list_transform(range(1, greatest(len(ws)-2, 0)+1), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+    )
+    pos = (
+        f"(('0x' || substr(md5('bloom0:' || t.j || ':' || gram), 1, 15))::BIGINT"
+        f" % {m})::INT"
+    )
+    return f"""
+      WITH ws AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+      mem AS (
+        SELECT DISTINCT unnest({gram}) AS gram FROM ws WHERE doc_id % 7 = 0
+      ),
+      bits AS (
+        SELECT DISTINCT {pos} AS bit_idx FROM mem CROSS JOIN range({k}) t(j)
+      ),
+      pg AS (
+        SELECT doc_id, list_distinct({gram}) AS gs FROM ws WHERE doc_id % 7 <> 0
+      ),
+      pgx AS (SELECT doc_id, unnest(gs) AS gram FROM pg),
+      pb AS (
+        SELECT doc_id, gram, {pos} AS bit_idx
+        FROM pgx CROSS JOIN range({k}) t(j)
+      ),
+      gh AS (
+        SELECT p.doc_id, p.gram, (count(b.bit_idx) = {k}) AS hit
+        FROM pb p LEFT JOIN bits b USING (bit_idx)
+        GROUP BY p.doc_id, p.gram
+      ),
+      fl AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE hit)::BIGINT AS n_flagged,
+               count(*) FILTER (WHERE gram IN (SELECT gram FROM mem))::BIGINT
+                 AS n_member
+        FROM gh GROUP BY doc_id
+      )
+      SELECT pg.doc_id, len(pg.gs)::BIGINT AS n_grams,
+             coalesce(fl.n_flagged, 0)::BIGINT AS n_flagged,
+             coalesce(fl.n_member, 0)::BIGINT AS n_member
+      FROM pg LEFT JOIN fl USING (doc_id)
+    """
 
 
 def _quality_gate_sql() -> str:

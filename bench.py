@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "hll_distinct_grams",
     "heavy_hitters_cms",
     "domain_cap",
+    "bloom_decontaminate",
 ]
 
 

@@ -218,6 +218,90 @@ def countmin_sketch(
     )
 
 
+def bloom_positions(
+    key: Column, num_bits: int, num_hashes: int, seed: int = 0, portable: bool = False
+) -> Column:
+    """The ``num_hashes`` bit positions a key sets/probes, as an
+    ``array<int>`` — one independent hash per slot, reduced mod
+    ``num_bits``."""
+    pos = []
+    for j in range(num_hashes):
+        h, _ = _hash_bits(key, f"bloom{seed}:{j}:", portable)
+        pos.append((h % F.lit(num_bits)).cast("int"))
+    return F.array(*pos)
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """The Bloom filter's set-bit table ``(bit_idx)`` for the values of
+    ``key_col`` — ≤ ``num_bits`` int rows, so the exchange after the
+    map-side partial distinct is fixed-size regardless of input. Filters
+    over shards merge by ``unionByName(...).distinct()`` (bit-OR), which
+    is exactly ``bloom_build(A ∪ B)``.
+
+    No false negatives ever; false-positive rate ≈ (1 - e^(-kn/m))^k —
+    :func:`bloom_fp_rate`. The classic use here is decontamination /
+    blocklist probing where the MEMBER SET is the small side: build once,
+    pack with :func:`bloom_pack`, probe the corpus map-side."""
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two ≥ 64: {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be ≥ 1: {num_hashes}")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                bloom_positions(F.col(key_col), num_bits, num_hashes, seed, portable)
+            ).alias("bit_idx")
+        )
+        .distinct()
+    )
+
+
+def bloom_pack(spark, bits: DataFrame, num_bits: int) -> DataFrame:
+    """Pack a set-bit table into ONE row ``(bloom array<boolean>)`` for
+    broadcast. The collect is metadata-scale by construction (≤ num_bits
+    ints — the same driver-side footprint as a PQ codebook); the packed
+    row crossJoins map-side so probe membership costs ZERO exchange."""
+    idx = {r.bit_idx for r in bits.collect()}
+    bad = [i for i in idx if not (0 <= i < num_bits)]
+    if bad:
+        raise ValueError(f"bit_idx out of range [0, {num_bits}): {bad[:3]}")
+    bitmap = [i in idx for i in range(num_bits)]
+    return spark.createDataFrame([(bitmap,)], "bloom array<boolean>")
+
+
+def bloom_maybe_contains(
+    key: Column,
+    bitmap: Column,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+    portable: bool = False,
+) -> Column:
+    """Membership test against a packed bitmap column (from
+    :func:`bloom_pack`, crossJoin-broadcast onto the probe rows): true
+    iff ALL ``num_hashes`` positions are set. Pure expression — usable
+    inside ``F.filter`` lambdas over a doc's gram array, so an entire
+    decontamination pass stays map-only."""
+    out = F.lit(True)
+    for j in range(num_hashes):
+        h, _ = _hash_bits(key, f"bloom{seed}:{j}:", portable)
+        out = out & F.element_at(bitmap, (h % F.lit(num_bits)).cast("int") + F.lit(1))
+    return out
+
+
+def bloom_fp_rate(num_bits: int, num_hashes: int, n_keys: int) -> float:
+    """Expected false-positive probability (1 - e^(-kn/m))^k."""
+    return (1.0 - math.exp(-num_hashes * n_keys / num_bits)) ** num_hashes
+
+
 def countmin_lookup(
     sketch: DataFrame,
     probes: DataFrame,

@@ -123,3 +123,116 @@ def test_sketch_shuffle_is_register_sized(spark):
     cm = countmin_sketch(df, "k")
     plan = cm._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from kafka_connect_gcs_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_fp_rate,
+    bloom_maybe_contains,
+    bloom_pack,
+)
+
+_BLOOM_BITS = 1 << 12
+_BLOOM_K = 4
+
+
+def _bloom(spark, members, portable):
+    bits = bloom_build(
+        _keys(spark, members), "k", _BLOOM_BITS, _BLOOM_K, portable=portable
+    )
+    return bloom_pack(spark, bits, _BLOOM_BITS)
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_bloom_no_false_negatives(spark, portable):
+    members = [f"m-{i}" for i in range(300)]
+    packed = _bloom(spark, members, portable)
+    probe = _keys(spark, members).crossJoin(F.broadcast(packed))
+    hits = probe.select(
+        bloom_maybe_contains(
+            F.col("k"), F.col("bloom"), _BLOOM_BITS, _BLOOM_K, portable=portable
+        ).alias("hit")
+    )
+    assert all(r.hit for r in hits.collect())
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_bloom_fp_rate_is_bounded(spark, portable):
+    members = [f"m-{i}" for i in range(300)]
+    packed = _bloom(spark, members, portable)
+    non = [f"x-{i}" for i in range(2000)]
+    probe = _keys(spark, non).crossJoin(F.broadcast(packed))
+    n_fp = probe.where(
+        bloom_maybe_contains(
+            F.col("k"), F.col("bloom"), _BLOOM_BITS, _BLOOM_K, portable=portable
+        )
+    ).count()
+    # expected fp ~ bloom_fp_rate(4096, 4, 300) ≈ 0.46% → ~9 of 2000;
+    # deterministic hashes, loose 5x headroom
+    assert n_fp <= 5 * bloom_fp_rate(_BLOOM_BITS, _BLOOM_K, 300) * len(non), n_fp
+
+
+def test_bloom_merge_is_union(spark):
+    a = [f"a-{i}" for i in range(100)]
+    b = [f"b-{i}" for i in range(100)] + a[:20]
+    merged = (
+        bloom_build(_keys(spark, a), "k", _BLOOM_BITS, _BLOOM_K)
+        .unionByName(bloom_build(_keys(spark, b), "k", _BLOOM_BITS, _BLOOM_K))
+        .distinct()
+    )
+    whole = bloom_build(_keys(spark, a + b), "k", _BLOOM_BITS, _BLOOM_K)
+    assert sorted(r.bit_idx for r in merged.collect()) == sorted(
+        r.bit_idx for r in whole.collect()
+    )
+
+
+def test_bloom_probe_inside_array_filter_is_map_only(spark):
+    """The decontamination shape: filter a doc's gram ARRAY against the
+    broadcast bitmap inside a HOF lambda — no exchange on the probe side."""
+    members = ["the quick", "brown fox"]
+    packed = _bloom(spark, members, portable=False)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, gs=["the quick", "lazy dog"]), Row(doc_id=2, gs=["lazy dog"])]
+    )
+    out = docs.crossJoin(F.broadcast(packed)).select(
+        "doc_id",
+        F.size(
+            F.filter(
+                "gs",
+                lambda g: bloom_maybe_contains(
+                    g, F.col("bloom"), _BLOOM_BITS, _BLOOM_K
+                ),
+            )
+        ).alias("n_flagged"),
+    )
+    got = {r.doc_id: r.n_flagged for r in out.collect()}
+    assert got[1] >= 1 and got[2] <= got[1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is the 1-row bitmap broadcast; no shuffle
+    for shuffle in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert f"Exchange {shuffle}" not in plan, plan
+
+
+def test_bloom_null_keys_are_skipped(spark):
+    df = spark.createDataFrame([Row(k=None), Row(k="x")], "k string")
+    bits = bloom_build(df, "k", _BLOOM_BITS, _BLOOM_K)
+    assert bits.count() <= _BLOOM_K
+
+
+def test_bloom_validation():
+    with pytest.raises(ValueError):
+        bloom_build(None, "k", num_bits=100)
+    with pytest.raises(ValueError):
+        bloom_build(None, "k", num_bits=32)
+    with pytest.raises(ValueError):
+        bloom_build(None, "k", num_hashes=0)
+
+
+def test_bloom_pack_rejects_out_of_range(spark):
+    bad = spark.createDataFrame([Row(bit_idx=_BLOOM_BITS)])
+    with pytest.raises(ValueError):
+        bloom_pack(spark, bad, _BLOOM_BITS)
