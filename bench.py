@@ -482,6 +482,13 @@ def bench_ops(spark, work_dir: str) -> dict:
     from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
 
     if want("line_dedup"):
+        # SPARK_GRAFT_LINE_DEDUP_EAGER=0 measures the lazy plan (shuffle
+        # mark join, no offending-relation checkpoint) — the dense
+        # worst case makes `offending` corpus-sized, so the default
+        # eager checkpoint materializes the whole explosion
+        line_eager = (
+            os.environ.get("SPARK_GRAFT_LINE_DEDUP_EAGER", "1") == "1"
+        )
         t0 = time.time()
         # word-per-line split over the replicated corpus: every line
         # duplicated ≥R ways, all docs affected — the dense rebuild worst
@@ -492,6 +499,7 @@ def bench_ops(spark, work_dir: str) -> dict:
             ),
             policy="drop_all",
             min_docs=3,
+            eager=line_eager,
         ).agg(F.sum(F.length("text"))).collect()
         out["line_dedup"] = round(time.time() - t0, 3)
 

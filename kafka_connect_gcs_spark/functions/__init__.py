@@ -42,6 +42,10 @@ from kafka_connect_gcs_spark.operators.curation import (  # noqa: F401
     word_ngrams,
 )
 from kafka_connect_gcs_spark.operators.dsir import gumbel_noise  # noqa: F401
+from kafka_connect_gcs_spark.operators.normalize import (  # noqa: F401
+    collapse_whitespace,
+    strip_control_chars,
+)
 from kafka_connect_gcs_spark.operators.sampling import (  # noqa: F401
     hash_bucket,
     shuffle_key,
@@ -76,5 +80,7 @@ __all__ = [
     "hash_bucket",
     "shuffle_key",
     "gumbel_noise",
+    "strip_control_chars",
+    "collapse_whitespace",
     "valid_expr",
 ]

@@ -102,6 +102,31 @@ def duplicated_gram_hashes(
     )
 
 
+def _dup_hash_keys(gp, id_col: str, min_doc_freq: int):
+    """Just the duplicated-hash KEYS (no ``n_docs``). At the Lee et al.
+    default ``min_doc_freq=2`` the predicate "appears in ≥ 2 distinct
+    documents" is exactly ``min(id) != max(id)`` — ONE exchange whose
+    map-side combine collapses every same-hash row in a partition to a
+    single (h, lo, hi) partial. ``countDistinct`` plans as TWO corpus
+    exchanges (the distinct (h, id) pairs, then the per-h count), which
+    at the replicated-corpus scaling bench was the op's worst stage.
+    Thresholds above 2 need the true distinct count and fall back."""
+    if min_doc_freq <= 2:
+        return (
+            gp.groupBy("h")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .where(
+                F.col("_lo") != F.col("_hi")
+                if min_doc_freq == 2
+                else F.lit(True)
+            )
+            .select("h")
+        )
+    return duplicated_gram_hashes(
+        gp, id_col=id_col, min_doc_freq=min_doc_freq
+    ).select("h")
+
+
 def _gated_dup_hashes(gp, id_col, min_doc_freq, max_broadcast_rows):
     """The duplicated-hash relation, persisted + counted, broadcast when it
     fits (``(count, relation, unpersist)``): duplicated grams are usually a
@@ -112,10 +137,8 @@ def _gated_dup_hashes(gp, id_col, min_doc_freq, max_broadcast_rows):
     falls back to the shuffle join."""
     from pyspark import StorageLevel
 
-    dup = (
-        duplicated_gram_hashes(gp, id_col=id_col, min_doc_freq=min_doc_freq)
-        .select("h")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    dup = _dup_hash_keys(gp, id_col, min_doc_freq).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     n = dup.count()
     side = F.broadcast(dup) if n <= max_broadcast_rows else dup
@@ -166,9 +189,7 @@ def dup_span_stats(
     else:
         # lazy mode promises no jobs before the caller's action — keep the
         # shuffle join instead of counting for the broadcast gate
-        dup_side = duplicated_gram_hashes(
-            gp, id_col=id_col, min_doc_freq=min_doc_freq
-        ).select("h")
+        dup_side = _dup_hash_keys(gp, id_col, min_doc_freq)
         dup_cache = None
     marked = gp.join(dup_side, "h").select(id_col, "pos")
 
@@ -257,9 +278,7 @@ def remove_dup_spans(
             gp, id_col, min_doc_freq, max_broadcast_rows
         )
     else:
-        dup_side = duplicated_gram_hashes(
-            gp, id_col=id_col, min_doc_freq=min_doc_freq
-        ).select("h")
+        dup_side = _dup_hash_keys(gp, id_col, min_doc_freq)
         dup_cache = None
     covered = (
         gp.join(dup_side, "h")

@@ -116,3 +116,47 @@ def test_dup_span_eager_releases_gram_cache(docs):
         for r in remove_dup_spans(docs, k=3, eager=False).collect()
     )
     assert r_eager == r_lazy
+
+
+def test_dup_hash_keys_fast_path_equals_count_distinct(spark):
+    """min_doc_freq=2 plans as min(id)!=max(id) — ONE exchange — and must
+    agree with the countDistinct path exactly, including the within-doc
+    repeat case (same gram twice in ONE doc is NOT cross-doc duplicated)."""
+    from kafka_connect_gcs_spark.operators.dedup_spans import _dup_hash_keys
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e x y a b c d e"),   # within-doc repeat only
+            (2, "p q r s t u v w"),
+            (3, "p q r s t z z z z"),          # shares "p q r s t" with 2
+        ],
+        ["doc_id", "text"],
+    )
+    gp = gram_positions(corpus, k=5).select("doc_id", "pos", "h")
+    fast = _dup_hash_keys(gp, "doc_id", 2)
+    slow = duplicated_gram_hashes(gp, min_doc_freq=2).select("h")
+    assert sorted(r.h for r in fast.collect()) == sorted(
+        r.h for r in slow.collect()
+    )
+    # the within-doc repeated gram hashes must appear in NEITHER
+    within = gp.groupBy("h").count().where("count > 1")
+    cross = {r.h for r in fast.collect()}
+    dup_within_only = {
+        r.h
+        for r in gp.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .where("n > 1 and nd = 1")
+        .collect()
+    }
+    assert dup_within_only and not (dup_within_only & cross), within.count()
+    # plan: exactly one shuffle for the fast path (final AQE plan only —
+    # the toString includes the Initial Plan section too)
+    def final_plan(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    assert final_plan(fast).count("Exchange hashpartitioning") == 1
+    assert final_plan(slow).count("Exchange hashpartitioning") >= 2
