@@ -1553,6 +1553,44 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (operators/normalize.py): Unicode NFC +
+    control-char strip + whitespace collapse as ONE map-only projection.
+    Mess is injected deterministically (decomposed combining accents,
+    compatibility chars, C0 controls, whitespace runs — no external
+    data); norm_fp is the md5 of the normalized text so the oracle
+    (DuckDB ``nfc_normalize`` + the same RE2∩Java regexes) verifies the
+    rewrite byte-for-byte."""
+    from kafka_connect_gcs_spark.operators.normalize import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("Café  du  parc\t"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.lit(" \x01Ångström Å\x1f  unit "),
+            ).otherwise(F.lit("")),
+            # \x02, not \x00: DuckDB's nfc_normalize truncates at an
+            # embedded NUL when composition actually rewrites the string
+            # (utf8proc C-string), so NUL stripping is covered by the
+            # unit tests instead of this oracle
+            F.when(did % 7 == 0, F.lit("\x02\ttail\x7f  case"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = normalize_text(dirty, "text", "norm_text", form="NFC")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("norm_text")).alias("norm_fp"),
+        F.length("norm_text").cast("long").alias("norm_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1635,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "domain_cap": q_domain_cap,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -2752,6 +2791,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents) WHERE rk <= 12
         """,
         "bloom_decontaminate": _bloom_sql(),
+        "normalize_text": r"""
+          WITH dirty AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN 'Cafe' || chr(769) || '  du  parc' || chr(9)
+                         ELSE '' END)
+                   || text
+                   || (CASE WHEN doc_id % 5 = 0
+                            THEN ' ' || chr(1) || 'A' || chr(778)
+                                 || 'ngstro' || chr(776) || 'm '
+                                 || chr(8491) || chr(31) || '  unit '
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 7 = 0
+                            THEN chr(2) || chr(9) || 'tail' || chr(127)
+                                 || '  case'
+                            ELSE '' END) AS text
+            FROM documents
+          ),
+          norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(text),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                     '\s+', ' ', 'g')) AS norm_text
+            FROM dirty
+          )
+          SELECT doc_id,
+                 md5(norm_text) AS norm_fp,
+                 CAST(length(norm_text) AS BIGINT) AS norm_len
+          FROM norm
+        """,
     }
 
 

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "domain_cap",
     "bloom_decontaminate",
+    "normalize_text",
 ]
 
 
