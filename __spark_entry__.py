@@ -1591,6 +1591,28 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/clustering.py): k=4 seeds by
+    portable id-hash, 2 full-corpus iterations (map-only literal-matrix
+    assignment + one partial-aggregated exchange per round), final
+    assignment with squared L2. The oracle UNROLLS every iteration —
+    seeds, the argmax(v·c − ||c||²/2) assignment with its smallest-cid
+    tie-break, the round-9 per-dimension means, the empty-cluster
+    keep-previous rule — in generated DuckDB SQL, sequential-fold dot
+    products matching F.aggregate's accumulation order bit-for-bit."""
+    from kafka_connect_gcs_spark.operators.clustering import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    labeled, _cents = kmeans(
+        e, k=4, max_iter=2, seed=13, portable=True, dist_col="_sq"
+    )
+    return labeled.select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        F.round("_sq", 6).alias("sq_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1674,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "bloom_decontaminate": q_bloom_decontaminate,
         "normalize_text": q_normalize_text,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1861,6 +1884,85 @@ def _simhash_sql(max_hamming=3, max_doc_id=120) -> str:
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, seed: int = 13, dim: int = 64) -> str:
+    """DuckDB replay of the ENTIRE distributed k-means driver query
+    (operators/clustering.py): portable-hash seed selection, then each
+    Lloyd iteration unrolled as an assignment CTE (argmax of the same
+    v·c − ||c||²/2 objective, sequential-fold products so doubles agree
+    bit-for-bit, smallest-cid tie-break) and an update CTE (round-9
+    per-dimension means, empty clusters keep the previous centroid via
+    the LEFT JOIN coalesce), finishing with the labeled corpus + the
+    squared-L2 fold of the winning pair."""
+    rng = f"range(1, {dim + 1})"
+
+    def dot(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform({rng}, i -> {v}[i] * {c}[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    def half(c: str) -> str:
+        return (
+            f"list_reduce(list_transform({rng}, i -> {c}[i] * {c}[i]), "
+            "(x, y) -> x + y) / 2.0"
+        )
+
+    def assign_cte(name: str, prev: str, extra: str = "") -> str:
+        return f"""
+          {name} AS (
+            SELECT vec_id, v, cid{extra} FROM (
+              SELECT e.vec_id, e.v, c.cid,
+                     {dot('e.v', 'c.c')} - {half('c.c')} AS score,
+                     list_reduce(list_transform({rng},
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),
+                       (x, y) -> x + y) AS sq,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot('e.v', 'c.c')} - {half('c.c')} DESC,
+                                c.cid) AS rn
+              FROM emb e CROSS JOIN {prev} c
+            ) WHERE rn = 1)"""
+
+    def update_cte(a: str, prev: str, name: str) -> str:
+        return f"""
+          {name} AS (
+            SELECT p.cid, coalesce(m.c, p.c) AS c
+            FROM {prev} p LEFT JOIN (
+              SELECT cid, list(mval ORDER BY d) AS c FROM (
+                SELECT cid, d, round(sum(v[d]) / count(*), 9) AS mval
+                FROM {a} CROSS JOIN (SELECT unnest({rng}) AS d) dd
+                GROUP BY cid, d)
+              GROUP BY cid) m USING (cid))"""
+
+    parts = [
+        f"""
+          WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+          ),
+          c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT)
+                     AS cid,
+                   v AS c
+            FROM (
+              SELECT vec_id, v,
+                     ('0x' || substr(md5('km{seed}:'
+                        || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM emb ORDER BY h, vec_id LIMIT {k})
+          )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append("," + assign_cte(f"a{t}", f"c{t - 1}"))
+        parts.append("," + update_cte(f"a{t}", f"c{t - 1}", f"c{t}"))
+    parts.append("," + assign_cte("afinal", f"c{iters}", ", sq"))
+    parts.append(
+        """
+          SELECT vec_id, cid, round(sq, 6) AS sq_dist FROM afinal"""
+    )
+    return "".join(parts)
 
 
 def _seqfold_dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -2823,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(length(norm_text) AS BIGINT) AS norm_len
           FROM norm
         """,
+        "kmeans_clusters": _kmeans_sql(),
     }
 
 

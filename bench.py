@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "bloom_decontaminate",
     "normalize_text",
+    "kmeans_clusters",
 ]
 
 

@@ -104,21 +104,27 @@ def dedup_lines(
     passthrough anti-join key).
 
     Plan shape: offending occurrences are located by joining the line
-    explosion against the duplicate-line table; only documents owning at
-    least one offending occurrence are re-split and re-assembled
-    (``concat_ws`` over a per-doc sorted collect bounded by the doc's own
-    line count). Everything else passes through a LEFT ANTI join against
+    explosion against the duplicate-line table, then grouped into ONE row
+    per affected document (``collect_set(pos)``) — the single exchange the
+    rewrite pays beyond the duplicate-table aggregate. Affected documents
+    are rebuilt by a pure map-only projection (re-split, index-filter via
+    the position set, re-join — no second explode, no per-doc collect of
+    line text). Everything else passes through a LEFT ANTI join against
     the narrow affected-id relation — original bytes, no rewrite cost.
+    An earlier shape checkpointed the raw ``(id, pos)`` occurrence rows
+    and re-exploded affected docs into a sorted per-doc collect; in the
+    dense worst case (every line duplicated) that materialized and then
+    re-shuffled corpus-scale line text — measured 2× slower at the
+    scaling bench than this grouped form.
 
     With ``eager=True`` (default) the duplicate-line table is persisted,
     counted, and BROADCAST into the mark join when it fits
     ``max_broadcast_rows`` (the real count, not a guess) — the corpus
-    line explosion then never shuffles for the mark; and the narrow
-    ``(id, pos)`` offending relation (referenced twice downstream) is
-    checkpointed once, so the corpus is not re-exploded per consumer and
-    the duplicate-table cache is released before returning.
-    ``eager=False`` keeps the whole plan lazy (plan inspection /
-    composition) with the original shuffle joins.
+    line explosion then never shuffles for the mark; the grouped per-doc
+    position relation (referenced by both the rebuild and the anti join)
+    is checkpointed once and the duplicate-table cache released before
+    returning. ``eager=False`` keeps the whole plan lazy (plan
+    inspection / composition) with the original shuffle joins.
     """
     if policy not in ("drop_all", "keep_first"):
         raise ValueError(f"unknown policy {policy!r}")
@@ -169,47 +175,42 @@ def dedup_lines(
     offending = nonblank.join(side, "line")
     if mark_filter is not None:
         offending = offending.where(mark_filter)
-    offending = offending.select(id_col, "pos")
+    # ONE row per affected document: the set of 0-based line positions to
+    # drop — grouped here so downstream needs no second corpus explode and
+    # no per-doc collect of line TEXT (positions are ints; the text ships
+    # only inside the original doc row)
+    off_by_doc = offending.groupBy(id_col).agg(
+        F.collect_set("pos").alias("_dp")
+    )
     if eager:
-        offending = offending.localCheckpoint(eager=True)
+        off_by_doc = off_by_doc.localCheckpoint(eager=True)
         mark_keys.unpersist()
 
-    affected_ids = offending.select(id_col).distinct()
-
-    # rebuild ONLY affected docs: semi-join the DOCUMENTS first so the
-    # rebuild re-explodes just the affected text (the corpus-scale first
-    # explosion above exists only inside the dup-table aggregate), then
-    # drop the offending (id, pos) occurrences and reassemble in order
-    affected_docs = df.select(id_col, text_col).join(
-        affected_ids, id_col, "semi"
+    # rebuild ONLY affected docs, map-only: re-split once inside a
+    # projection, keep lines whose index is not in the drop set, re-join.
+    # A doc whose every line was offending keeps its row as ""
+    parts = F.split(F.col(text_col), "\n", -1)
+    indexed = F.zip_with(
+        parts,
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda line, i: F.struct(line.alias("l"), i.alias("i")),
     )
-    remaining = _lines(affected_docs, text_col, id_col).join(
-        offending.withColumn("_drop", F.lit(True)),
-        [id_col, "pos"],
-        "left",
-    ).where(F.col("_drop").isNull())
-    rebuilt_text = remaining.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("pos").alias("p"), F.col("line").alias("l"))
-                    )
-                ),
-                lambda s: s["l"],
-            ),
-        ).alias(text_col)
+    kept = F.filter(
+        indexed, lambda s: ~F.array_contains(F.col("_dp"), s["i"])
     )
-    # a doc whose every line was offending has no remaining rows: keep the
-    # doc as an empty string rather than losing the row
-    rebuilt = affected_ids.join(rebuilt_text, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    rebuilt = (
+        df.select(id_col, text_col)
+        .join(off_by_doc, id_col)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(kept, lambda s: s["l"])
+            ).alias(text_col),
+        )
     )
 
     # untouched docs pass through byte-exact — never re-split/re-joined
     untouched = df.select(id_col, text_col).join(
-        affected_ids, id_col, "left_anti"
+        off_by_doc.select(id_col), id_col, "left_anti"
     )
     return untouched.unionByName(rebuilt)
