@@ -1613,6 +1613,62 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """URL/domain curation (operators/urls.py): URLs injected
+    deterministically over documents (five authority shapes: scheme,
+    scheme+port suffix-domain, scheme-relative with port, schemeless with
+    userinfo, opaque mailto), host extracted by the shared RE2∩Java
+    regex, registrable domain under the pinned two-level-suffix set, and
+    a UT1-style blocklist mark — the whole query is ONE map-only
+    projection over the corpus."""
+    from kafka_connect_gcs_spark.operators.urls import filter_blocked_domains
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    with_url = d.select(
+        "doc_id",
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("https://ads.tracker"),
+                (did % 7).cast("string"),
+                F.lit(".com/banner?id="),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("http://sub"),
+                (did % 3).cast("string"),
+                F.lit(".news.co.uk/article/"),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("//cdn.media-host.net:8080/v/"), did.cast("string")
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("user:pw@shop"),
+                (did % 4).cast("string"),
+                F.lit(".example.com/item"),
+            ),
+        )
+        .otherwise(F.lit("mailto:someone@nothost"))
+        .alias("url"),
+    )
+    return filter_blocked_domains(
+        with_url,
+        ["tracker3.com", "example.com", "news.co.uk"],
+        mode="mark",
+    ).select("doc_id", "domain", "blocked")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1697,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "normalize_text": q_normalize_text,
         "kmeans_clusters": q_kmeans_clusters,
+        "url_filter": q_url_filter,
     }
 
 
@@ -1883,6 +1940,52 @@ def _simhash_sql(max_hamming=3, max_doc_id=120) -> str:
              bit_count(xor(a.sh, b.sh)) AS hamming
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _url_filter_sql() -> str:
+    """DuckDB replay of q_url_filter: same injected URLs, the SAME host
+    regex (RE2∩Java — verified char-for-char), the same two-level-suffix
+    set imported from the operator so the two can never drift."""
+    from kafka_connect_gcs_spark.operators.urls import (
+        _HOST_RE,
+        DEFAULT_TWO_LEVEL_SUFFIXES,
+    )
+
+    sufs = ", ".join(f"'{s}'" for s in DEFAULT_TWO_LEVEL_SUFFIXES)
+    return f"""
+      WITH inj AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'https://ads.tracker' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.com/banner?id=' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'http://sub' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.news.co.uk/article/' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '//cdn.media-host.net:8080/v/'
+                 || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN 'user:pw@shop' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.example.com/item'
+            ELSE 'mailto:someone@nothost' END AS url
+        FROM documents),
+      lab AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+               string_split(lower(regexp_extract(url, '{_HOST_RE}', 1)), '.')
+                 AS ls
+        FROM inj),
+      dom AS (
+        SELECT doc_id,
+          CASE WHEN len(ls) <= 2 THEN host
+               WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
+                    IN ({sufs})
+               THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
+               ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
+          END AS domain
+        FROM lab)
+      SELECT doc_id, domain,
+             domain IN ('tracker3.com', 'example.com', 'news.co.uk')
+               AS blocked
+      FROM dom
     """
 
 
@@ -2926,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
           FROM norm
         """,
         "kmeans_clusters": _kmeans_sql(),
+        "url_filter": _url_filter_sql(),
     }
 
 

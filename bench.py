@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     "normalize_text",
     "kmeans_clusters",
+    "url_filter",
 ]
 
 
@@ -484,12 +485,15 @@ def bench_ops(spark, work_dir: str) -> dict:
     from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
 
     if want("line_dedup"):
-        # SPARK_GRAFT_LINE_DEDUP_EAGER=0 measures the lazy plan (shuffle
-        # mark join, no offending-relation checkpoint) — the dense
-        # worst case makes `offending` corpus-sized, so the default
-        # eager checkpoint materializes the whole explosion
+        # default to the LAZY plan here, like dup_spans above: in the
+        # dense worst case the eager checkpoint of the per-doc position
+        # sets is storage-state-dependent (interleaved A/B at local[4]:
+        # eager 40.6/70.6 s across passes vs lazy 47.3/48.0 s) — the
+        # scaling table wants the stable composable plan; the eager
+        # default exists for the real sparse shape (micro-batch loops).
+        # SPARK_GRAFT_LINE_DEDUP_EAGER=1 measures the eager path.
         line_eager = (
-            os.environ.get("SPARK_GRAFT_LINE_DEDUP_EAGER", "1") == "1"
+            os.environ.get("SPARK_GRAFT_LINE_DEDUP_EAGER", "0") == "1"
         )
         t0 = time.time()
         # word-per-line split over the replicated corpus: every line
