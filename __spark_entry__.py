@@ -1669,6 +1669,23 @@ def q_url_filter(spark, sf_dir):
     ).select("doc_id", "domain", "blocked")
 
 
+def q_jaccard_prefix_join(spark, sf_dir):
+    """EXACT set-similarity self-join (operators/setsim.py): prefix
+    filtering (SSJoin/PPJoin; Vernica et al. SIGMOD 2010) generates a
+    provably-lossless candidate set via equi-joins on each set's
+    rarest-token prefix, then exact Jaccard verifies. The oracle is the
+    naive quadratic all-pairs join, so a hash match PROVES no pair with
+    Jaccard ≥ t was missed — the same losslessness argument as
+    interval_join. Unlike the LSH families, zero false negatives by
+    construction."""
+    from kafka_connect_gcs_spark.operators.setsim import jaccard_prefix_join
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 400
+    )
+    return jaccard_prefix_join(d, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1754,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "kmeans_clusters": q_kmeans_clusters,
         "url_filter": q_url_filter,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
     }
 
 
@@ -3030,6 +3048,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_sql(),
         "url_filter": _url_filter_sql(),
+        # the naive quadratic join — hash match proves the distributed
+        # prefix-filter plan (equi-joins only) is lossless
+        "jaccard_prefix_join": f"""
+          WITH w AS (
+            SELECT doc_id, list_distinct({_words_sql()}) AS sh
+            FROM documents WHERE doc_id < 400
+          )
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                       THEN len(list_intersect(a.sh, b.sh))
+                            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jaccard
+          FROM w a JOIN w b ON a.doc_id < b.doc_id
+          WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN len(list_intersect(a.sh, b.sh))
+                          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                     ELSE 0.0 END >= 0.4
+        """,
     }
 
 

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "normalize_text",
     "kmeans_clusters",
     "url_filter",
+    "jaccard_prefix_join",
 ]
 
 
