@@ -1686,6 +1686,21 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return jaccard_prefix_join(d, threshold=0.4)
 
 
+def q_topk_per_domain(spark, sf_dir):
+    """Exact per-key top-k (operators/topk.py): the salted two-phase
+    reduction — per-(key, hash-salt) window top-k, then true top-k over
+    the ≤ k·num_salts survivors per key — so no group ever funnels
+    through one reducer. The oracle is the naive single window; a hash
+    match proves the two-phase plan returns exactly the same rows and
+    ranks."""
+    from kafka_connect_gcs_spark.operators.topk import topk_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return topk_per_key(
+        d, key_col="source", score_col="n_chars", k=3, id_col="doc_id"
+    ).select("source", "doc_id", "n_chars", "rank")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1772,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "url_filter": q_url_filter,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "topk_per_domain": q_topk_per_domain,
     }
 
 
@@ -3065,6 +3081,16 @@ def oracle_sql() -> dict[str, str]:
                      THEN len(list_intersect(a.sh, b.sh))
                           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
                      ELSE 0.0 END >= 0.4
+        """,
+        # naive single-window top-k per group — hash match proves the
+        # salted two-phase reduction returns identical rows and ranks
+        "topk_per_domain": """
+          SELECT source, doc_id, n_chars, rank FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents)
+          WHERE rank <= 3
         """,
     }
 

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "url_filter",
     "jaccard_prefix_join",
+    "topk_per_domain",
 ]
 
 
