@@ -1701,6 +1701,27 @@ def q_topk_per_domain(spark, sf_dir):
     ).select("source", "doc_id", "n_chars", "rank")
 
 
+def q_score_percentile_by_lang(spark, sf_dir):
+    """PER-GROUP exact score calibration (operators/sampling.py,
+    score_percentile_by): each doc's percentile by n_chars WITHIN its
+    language — the CCNet-style per-language threshold input. The
+    within-group rank is global_rank(group, score, key) − group_base, so
+    no group funnels through one reducer; the oracle is the naive
+    per-group window, and the hash match proves the decomposition
+    exact."""
+    from kafka_connect_gcs_spark.operators.sampling import score_percentile_by
+
+    d = _t(spark, sf_dir, "documents")
+    return score_percentile_by(
+        d.select("doc_id", "lang", "n_chars"), "lang", "n_chars"
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "percentile",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1788,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "topk_per_domain": q_topk_per_domain,
+        "score_percentile_by_lang": q_score_percentile_by_lang,
     }
 
 
@@ -3091,6 +3113,17 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id) AS rank
             FROM documents)
           WHERE rank <= 3
+        """,
+        # naive per-group window — hash match proves the scan-minus-base
+        # decomposition computes the identical within-group rank
+        "score_percentile_by_lang": """
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) - 1
+                      AS DOUBLE)
+                 / greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+                   AS percentile
+          FROM documents
         """,
     }
 

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "url_filter",
     "jaccard_prefix_join",
     "topk_per_domain",
+    "score_percentile_by_lang",
 ]
 
 

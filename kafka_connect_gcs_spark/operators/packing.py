@@ -31,13 +31,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tiebreaks(tiebreak_col: "str | list[str] | None") -> list:
+    """Normalize the tiebreak spec: None → [], str → [str], list kept —
+    the scan order is (order_col, *tiebreaks) and that tuple must be
+    unique (the caller contract in :func:`exclusive_prefix_sum`)."""
+    if not tiebreak_col:
+        return []
+    if isinstance(tiebreak_col, str):
+        return [tiebreak_col]
+    return list(tiebreak_col)
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     order_col: str,
     n_col: str,
     out_col: str = "start",
     num_partitions: "int | None" = None,
-    tiebreak_col: "str | None" = None,
+    tiebreak_col: "str | list[str] | None" = None,
 ) -> DataFrame:
     """(…, out_col) where out_col = sum of ``n_col`` over all rows strictly
     before this one in ``order_col`` order — a distributed exclusive scan.
@@ -102,7 +113,7 @@ def _prefix_sum_bucketed(
     lo: int,
     span: int,
     num_partitions: "int | None",
-    tiebreak_col: "str | None" = None,
+    tiebreak_col: "str | list[str] | None" = None,
 ) -> DataFrame:
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -126,7 +137,7 @@ def _prefix_sum_bucketed(
     # explicit ROWS frame: the default RANGE frame makes duplicate order
     # values peers (all sharing one inclusive cumsum); ROWS keeps every row's
     # running total distinct even if the uniqueness contract is violated
-    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    order_cols = [order_col] + _tiebreaks(tiebreak_col)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -148,13 +159,13 @@ def _prefix_sum_sampled_ranges(
     n_col: str,
     out_col: str,
     num_partitions: "int | None",
-    tiebreak_col: "str | None" = None,
+    tiebreak_col: "str | list[str] | None" = None,
 ) -> DataFrame:
     from pyspark import StorageLevel
 
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    order_cols = [order_col] + _tiebreaks(tiebreak_col)
     part = (
         df.repartitionByRange(P, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)

@@ -390,6 +390,87 @@ def score_percentile(
     return df.join(pct, key_col)
 
 
+def score_percentile_by(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    key_col: str = "doc_id",
+    out_col: str = "percentile",
+    num_partitions: "int | None" = None,
+    max_broadcast_groups: int = 1_000_000,
+) -> DataFrame:
+    """Exact WITHIN-GROUP percentile rank: for every row, ``rank / (n_g -
+    1)`` in [0, 1] over the total order ``(score, key)`` among rows
+    sharing its ``group_col`` — the per-language/per-source calibration
+    step (CCNet buckets perplexity PER LANGUAGE; one global threshold
+    would gut low-resource languages whose absolute scores sit in a
+    different range).
+
+    The naive ``row_number() OVER (PARTITION BY group)`` funnels every
+    row of a group through ONE reducer — at 10^10 rows a big language is
+    a single-task stage. Here the within-group rank is decomposed as
+    ``global_rank − group_base``: one group-major distributed scan
+    (:func:`~kafka_connect_gcs_spark.operators.packing
+    .exclusive_prefix_sum`'s sampled-range form over the composite
+    ``(group, score, key)``, so a big group spreads over many range
+    partitions) minus a per-group exclusive base from a ≤ G-row counts
+    relation (checkpointed once, broadcast back when G fits — counted,
+    not guessed). Exact and deterministic like :func:`score_percentile`;
+    single-row groups get 0.0; ``(group, score, key)`` must be unique,
+    which a unique ``key_col`` guarantees.
+
+    The range scan is used even for integral groups: the equal-width
+    bucketed scan keys buckets on the leading column alone, which would
+    fold each group into one bucket — the hot-reducer shape this
+    operator exists to avoid.
+    """
+    from kafka_connect_gcs_spark.operators.packing import (
+        _prefix_sum_sampled_ranges,
+    )
+    from pyspark.sql import Window
+
+    keyed = df.select(group_col, key_col, score_col).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = _prefix_sum_sampled_ranges(
+        keyed,
+        group_col,
+        "_one",
+        out_col="_rank",
+        num_partitions=num_partitions,
+        tiebreak_col=[score_col, key_col],
+    )
+    # ≤ G rows; checkpointed so the gate count and the join share one
+    # computation of the aggregate
+    counts = (
+        keyed.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    n_groups = counts.count()  # metadata-scale (reads the checkpoint)
+    # exclusive running base over groups in scan order (group ASC NULLS
+    # FIRST — the same order the range scan used). The unpartitioned
+    # window moves only the G-row counts relation through one task.
+    wbase = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        group_col,
+        "_n",
+        F.coalesce(F.sum("_n").over(wbase), F.lit(0)).alias("_base"),
+    )
+    if n_groups <= max_broadcast_groups:
+        bases = F.broadcast(bases)
+    pct = ranked.join(bases, group_col).select(
+        key_col,
+        (
+            (F.col("_rank") - F.col("_base")).cast("double")
+            / F.greatest(F.col("_n") - 1, F.lit(1)).cast("double")
+        ).alias(out_col),
+    )
+    return df.join(pct, key_col)
+
+
 def take_top_fraction(
     df: DataFrame,
     fraction: float,
