@@ -1722,6 +1722,20 @@ def q_score_percentile_by_lang(spark, sf_dir):
     )
 
 
+def q_top_fraction_by_lang(spark, sf_dir):
+    """Per-group exact-count selection (operators/sampling.py,
+    take_top_fraction_by): keep exactly floor(0.25*n_g) highest-n_chars
+    docs WITHIN each language via the same scan-minus-base grouped rank
+    as score_percentile_by. Oracle = the naive per-group window rank
+    filter."""
+    from kafka_connect_gcs_spark.operators.sampling import take_top_fraction_by
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return take_top_fraction_by(d, 0.25, "lang", "n_chars").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1810,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "topk_per_domain": q_topk_per_domain,
         "score_percentile_by_lang": q_score_percentile_by_lang,
+        "top_fraction_by_lang": q_top_fraction_by_lang,
     }
 
 
@@ -3124,6 +3139,15 @@ def oracle_sql() -> dict[str, str]:
                  / greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
                    AS percentile
           FROM documents
+        """,
+        "top_fraction_by_lang": """
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) - 1 AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents)
+          WHERE rk >= n - floor(n * 0.25)
         """,
     }
 

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "jaccard_prefix_join",
     "topk_per_domain",
     "score_percentile_by_lang",
+    "top_fraction_by_lang",
 ]
 
 

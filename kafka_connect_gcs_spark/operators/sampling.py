@@ -424,6 +424,30 @@ def score_percentile_by(
     fold each group into one bucket — the hot-reducer shape this
     operator exists to avoid.
     """
+    gr = _grouped_ranks(
+        df, group_col, score_col, key_col, num_partitions, max_broadcast_groups
+    )
+    pct = gr.select(
+        key_col,
+        (
+            F.col("_gr").cast("double")
+            / F.greatest(F.col("_n") - 1, F.lit(1)).cast("double")
+        ).alias(out_col),
+    )
+    return df.join(pct, key_col)
+
+
+def _grouped_ranks(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    num_partitions: "int | None",
+    max_broadcast_groups: int,
+) -> DataFrame:
+    """(key, group, _gr, _n): each row's 0-based within-group rank by
+    ``(score, key)`` plus its group size — the shared scan behind
+    :func:`score_percentile_by` and :func:`take_top_fraction_by`."""
     from kafka_connect_gcs_spark.operators.packing import (
         _prefix_sum_sampled_ranges,
     )
@@ -461,14 +485,38 @@ def score_percentile_by(
     )
     if n_groups <= max_broadcast_groups:
         bases = F.broadcast(bases)
-    pct = ranked.join(bases, group_col).select(
+    return ranked.join(bases, group_col).select(
         key_col,
-        (
-            (F.col("_rank") - F.col("_base")).cast("double")
-            / F.greatest(F.col("_n") - 1, F.lit(1)).cast("double")
-        ).alias(out_col),
+        group_col,
+        (F.col("_rank") - F.col("_base")).alias("_gr"),
+        "_n",
     )
-    return df.join(pct, key_col)
+
+
+def take_top_fraction_by(
+    df: DataFrame,
+    fraction: float,
+    group_col: str,
+    score_col: str,
+    key_col: str = "doc_id",
+    num_partitions: "int | None" = None,
+    max_broadcast_groups: int = 1_000_000,
+) -> DataFrame:
+    """Keep exactly ``floor(fraction · n_g)`` highest-scoring rows WITHIN
+    each group (ties broken by key): the per-group form of
+    :func:`take_top_fraction`, i.e. "the top 20% of each language", via
+    the same scan-minus-base grouped rank — no per-group window, no hot
+    reducer. Returns ``df``'s rows unchanged."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    gr = _grouped_ranks(
+        df, group_col, score_col, key_col, num_partitions, max_broadcast_groups
+    )
+    kept = gr.where(
+        F.col("_gr")
+        >= F.col("_n") - F.floor(F.col("_n") * F.lit(float(fraction)))
+    ).select(key_col)
+    return df.join(kept, key_col)
 
 
 def take_top_fraction(

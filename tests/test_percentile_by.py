@@ -78,3 +78,36 @@ def test_original_columns_survive(spark):
     out = score_percentile_by(d, "lang", "score")
     assert set(out.columns) == {"lang", "doc_id", "score", "extra", "percentile"}
     assert out.count() == d.count()
+
+
+def test_take_top_fraction_by(spark):
+    from kafka_connect_gcs_spark.operators.sampling import take_top_fraction_by
+
+    d = _corpus(spark)
+    out = take_top_fraction_by(d, 0.2, "lang", "score")
+    sizes = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # floor(0.2 * n_g) per group: en 300→60, de 25→5, fr 1→0, xx 2→0
+    assert sizes == {"en": 60, "de": 5}
+    # the kept set is exactly the naive window's top floor(f*n) per group
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    w_keep = (
+        d.withColumn("_rk", F.row_number().over(w) - 1)
+        .withColumn("_n", n)
+        .where(F.col("_rk") >= F.col("_n") - F.floor(F.col("_n") * 0.2))
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in w_keep.collect()
+    )
+
+
+def test_take_top_fraction_by_bounds(spark):
+    from kafka_connect_gcs_spark.operators.sampling import take_top_fraction_by
+
+    d = _corpus(spark)
+    assert take_top_fraction_by(d, 1.0, "lang", "score").count() == d.count()
+    assert take_top_fraction_by(d, 0.0, "lang", "score").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        take_top_fraction_by(d, 1.5, "lang", "score")
