@@ -1736,6 +1736,27 @@ def q_top_fraction_by_lang(spark, sf_dir):
     )
 
 
+def q_pagerank_domains(spark, sf_dir):
+    """Link-graph authority ranking (operators/graph.py): damped PageRank
+    in 2^-30 fixed-point BIGINT arithmetic over a deterministic link
+    graph injected from documents — 251 nodes, two link shapes per doc
+    (a quadratic edge that varies in-degree, plus a hub projection onto
+    the low-89 residues that the quadratic edge cannot express, so the
+    distinct edge set is corpus-dependent, not just residue-dependent).
+    Integer sums commute exactly, so the oracle replays ALL 5 damped
+    iterations in unrolled DuckDB SQL and the ranks hash-match — the same
+    bit-determinism argument as HLL's exact indicator sum."""
+    from kafka_connect_gcs_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = (did % 251).alias("src")
+    edges = d.select(src, ((did * did + 1) % 251).alias("dst")).union(
+        d.select(src, (did % 89).alias("dst"))
+    )
+    return pagerank(edges, iterations=5).select("node", "rank_fp")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1825,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_domain": q_topk_per_domain,
         "score_percentile_by_lang": q_score_percentile_by_lang,
         "top_fraction_by_lang": q_top_fraction_by_lang,
+        "pagerank_domains": q_pagerank_domains,
     }
 
 
@@ -2157,6 +2179,43 @@ def _lang_scores_sql() -> str:
             f"len(list_intersect(list_distinct(ws), {arr})) AS s_{lang}"
         )
     return ", ".join(parts)
+
+
+def _pagerank_sql(iterations: int = 5, num: int = 85, den: int = 100) -> str:
+    """DuckDB replay of the ENTIRE fixed-point PageRank driver query
+    (operators/graph.py): the same injected edge set, DISTINCT collapse,
+    out-degrees, then every damped iteration unrolled as one CTE — the
+    per-edge floor (r // deg), the damped-sum floor, and the teleport
+    constant are all BIGINT operations on non-negative values, so Spark's
+    DIV and DuckDB's // agree exactly and the final ranks hash-match."""
+    from kafka_connect_gcs_spark.operators.graph import SCALE_BITS
+
+    base = 1 << SCALE_BITS
+    tel = ((den - num) << SCALE_BITS) // den
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+      r{k} AS (
+        SELECT n.node,
+               CAST({tel} + ({num} * coalesce(s.s, 0)) // {den} AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+          FROM e JOIN deg d ON e.src = d.src
+                 JOIN r{k - 1} p ON p.node = e.src
+          GROUP BY e.dst) s ON n.node = s.node)""")
+    return f"""
+      WITH inj AS (
+        SELECT doc_id % 251 AS src, (doc_id * doc_id + 1) % 251 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 251 AS src, doc_id % 89 AS dst FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM inj),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      r0 AS (SELECT node, CAST({base} AS BIGINT) AS r FROM nodes),{','.join(rounds)}
+      SELECT node, r AS rank_fp FROM r{iterations}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3149,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
           WHERE rk >= n - floor(n * 0.25)
         """,
+        "pagerank_domains": _pagerank_sql(),
     }
 
 
