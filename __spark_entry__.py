@@ -1736,6 +1736,66 @@ def q_top_fraction_by_lang(spark, sf_dir):
     )
 
 
+def q_content_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc_chunking.py): Rabin
+    rolling-hash boundaries over the word stream (window 4, boundary
+    prob 1/32), greedy min-8 spacing, max-40 forced splits — the
+    LBFS/backup-dedup chunker re-expressed as ONE map-only projection
+    (no shuffle; plan-asserted in tests). The oracle replays the whole
+    pipeline — per-word md5 hash mod P, the 4-term window polynomial,
+    the greedy keep fold (string-state list_reduce), stride splitting,
+    and the chunk md5 — in DuckDB."""
+    from kafka_connect_gcs_spark.operators.cdc_chunking import (
+        content_defined_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return content_defined_chunks(d, portable=True).select(
+        "doc_id", "chunk_id", "start_word", "n_words", "chunk_hash"
+    )
+
+
+def q_chunk_dedup_cdc(spark, sf_dir):
+    """Chunk-store dedup ratio under the CDC property: every doc gets a
+    shared 96-word footer (two variants by doc_id parity) appended AFTER
+    its unique body, so the footer sits at a DIFFERENT word offset in
+    every doc — a fixed-size chunker would share nothing, but content-
+    defined boundaries realign inside the footer and the trailing footer
+    chunks dedup corpus-wide. Stats per footer variant: the exchange
+    carries (variant, 32-byte hash, count) rows, never text."""
+    from kafka_connect_gcs_spark.operators.cdc_chunking import (
+        chunk_dedup_stats,
+        content_defined_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fv = (F.col("doc_id") % 2).cast("string")
+    footer = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(96)),
+            lambda j: F.concat(
+                F.lit("f"), F.col("fv"), F.lit("_"), j.cast("string")
+            ),
+        ),
+    )
+    docs = d.select("doc_id", fv.alias("fv"), "text").select(
+        "doc_id",
+        "fv",
+        F.concat(F.col("text"), F.lit(" "), footer).alias("text"),
+    )
+    ch = content_defined_chunks(docs, carry_cols=["fv"], portable=True)
+    return chunk_dedup_stats(ch, by_col="fv").select(
+        "fv",
+        "total_chunks",
+        "distinct_chunks",
+        "dup_chunks",
+        "words_total",
+        "words_saved",
+        "dup_ratio",
+    )
+
+
 def q_pagerank_domains(spark, sf_dir):
     """Link-graph authority ranking (operators/graph.py): damped PageRank
     in 2^-30 fixed-point BIGINT arithmetic over a deterministic link
@@ -1847,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_percentile_by_lang": q_score_percentile_by_lang,
         "top_fraction_by_lang": q_top_fraction_by_lang,
         "pagerank_domains": q_pagerank_domains,
+        "content_chunks": q_content_chunks,
+        "chunk_dedup_cdc": q_chunk_dedup_cdc,
     }
 
 
@@ -2179,6 +2241,107 @@ def _lang_scores_sql() -> str:
             f"len(list_intersect(list_distinct(ws), {arr})) AS s_{lang}"
         )
     return ", ".join(parts)
+
+
+def _cdc_chunk_rows_sql(doc_src: str, carry: str = "") -> str:
+    """DuckDB replay of the ENTIRE content-defined chunker
+    (operators/cdc_chunking.py, portable path) over ``doc_src`` (a SQL
+    relation providing doc_id[, carry], text): per-word md5-60bit hash
+    mod P, the 4-term Rabin window polynomial with boundary mask 2^5,
+    the greedy min-8 keep fold (string-state list_reduce, the BPE-oracle
+    trick), max-40 stride splitting, and the final chunk md5."""
+    from kafka_connect_gcs_spark.operators.cdc_chunking import (
+        DEFAULT_BOUNDARY_BITS as BITS,
+        DEFAULT_MAX_WORDS as MX,
+        DEFAULT_MIN_WORDS as MN,
+        DEFAULT_WINDOW as W,
+        RABIN_A as A,
+        RABIN_P as P,
+    )
+
+    c = f", {carry}" if carry else ""
+    poly = " + ".join(
+        f"gs[i-{d}]*{pow(A, d)}" if d else "gs[i]" for d in range(W)
+    )
+    return f"""
+      WITH src AS ({doc_src}),
+      w1 AS (SELECT doc_id{c}, {_words_sql('text')} AS ws FROM src),
+      w2 AS (SELECT doc_id{c}, ws, CAST(len(ws) AS INT) AS n,
+             list_transform(ws, w ->
+               ('0x' || substr(md5('cdc:' || w), 1, 15))::BIGINT % {P}) AS gs
+             FROM w1),
+      w3 AS (SELECT doc_id{c}, ws, n,
+             list_filter(list_transform(range({W}, n + 1), i ->
+               CASE WHEN (({poly}) % {P}) % {1 << BITS} = 0
+                    THEN CAST(i AS INT) ELSE 0 END), x -> x > 0) AS cand
+             FROM w2),
+      w4 AS (SELECT doc_id{c}, ws, n,
+             list_reduce(
+               list_prepend('0|', list_transform(cand, q -> CAST(q AS VARCHAR))),
+               (acc, x) -> CASE
+                 WHEN CAST(x AS INT) - CAST(split_part(acc, '|', 1) AS INT)
+                      >= {MN}
+                 THEN x || '|' || CASE WHEN split_part(acc, '|', 2) = ''
+                                  THEN x
+                                  ELSE split_part(acc, '|', 2) || ';' || x END
+                 ELSE acc END) AS st FROM w3),
+      w5 AS (SELECT doc_id{c}, ws,
+             ([0] || CASE WHEN split_part(st, '|', 2) = ''
+                     THEN CAST([] AS INT[])
+                     ELSE list_transform(string_split(
+                            split_part(st, '|', 2), ';'),
+                          s -> CAST(s AS INT)) END
+                  || CASE WHEN n > CAST(split_part(st, '|', 1) AS INT)
+                     THEN [n] ELSE CAST([] AS INT[]) END) AS bounds
+             FROM w4),
+      w6 AS (SELECT doc_id{c}, ws,
+             flatten(list_transform(range(1, len(bounds)), j ->
+               list_transform(
+                 range(0, (bounds[j+1] - bounds[j] - 1) // {MX} + 1),
+                 k -> struct_pack(
+                   st := bounds[j] + 1 + k*{MX},
+                   nw := least({MX},
+                               bounds[j+1] - (bounds[j] + 1 + k*{MX}) + 1))
+               ))) AS pieces FROM w5),
+      w7 AS (SELECT doc_id{c}, ws,
+             unnest(list_transform(range(1, len(pieces) + 1), j ->
+               struct_pack(cid := j - 1, st := pieces[j].st,
+                           nw := pieces[j].nw))) AS u FROM w6)
+      SELECT doc_id{c}, CAST(u.cid AS INT) AS chunk_id,
+             CAST(u.st AS INT) AS start_word, CAST(u.nw AS INT) AS n_words,
+             md5(array_to_string(
+               list_slice(ws, u.st, u.st + u.nw - 1), ' ')) AS chunk_hash
+      FROM w7
+    """
+
+
+def _chunk_dedup_sql() -> str:
+    """Replay of q_chunk_dedup_cdc: the same injected two-variant 96-word
+    footer, the full chunk replay, then the two-level dedup aggregation."""
+    footer = (
+        "array_to_string(list_transform(range(1, 97), j -> "
+        "'f' || CAST(doc_id % 2 AS VARCHAR) || '_' || CAST(j AS VARCHAR)),"
+        " ' ')"
+    )
+    rows = _cdc_chunk_rows_sql(
+        f"SELECT doc_id, CAST(doc_id % 2 AS VARCHAR) AS fv, "
+        f"text || ' ' || {footer} AS text FROM documents",
+        carry="fv",
+    )
+    return f"""
+      WITH ch AS ({rows}),
+      per AS (SELECT fv, chunk_hash, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(min(n_words) AS BIGINT) AS nw
+              FROM ch GROUP BY fv, chunk_hash)
+      SELECT fv, CAST(sum(cnt) AS BIGINT) AS total_chunks,
+             CAST(count(*) AS BIGINT) AS distinct_chunks,
+             CAST(sum(cnt) - count(*) AS BIGINT) AS dup_chunks,
+             CAST(sum(cnt*nw) AS BIGINT) AS words_total,
+             CAST(sum(cnt*nw) - sum(nw) AS BIGINT) AS words_saved,
+             round((sum(cnt*nw) - sum(nw)) / CAST(sum(cnt*nw) AS DOUBLE), 6)
+               AS dup_ratio
+      FROM per GROUP BY fv
+    """
 
 
 def _pagerank_sql(iterations: int = 5, num: int = 85, den: int = 100) -> str:
@@ -3209,6 +3372,10 @@ def oracle_sql() -> dict[str, str]:
           WHERE rk >= n - floor(n * 0.25)
         """,
         "pagerank_domains": _pagerank_sql(),
+        "content_chunks": _cdc_chunk_rows_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
+        "chunk_dedup_cdc": _chunk_dedup_sql(),
     }
 
 
