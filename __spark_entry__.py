@@ -1796,6 +1796,33 @@ def q_chunk_dedup_cdc(spark, sf_dir):
     )
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (operators/curation.py,
+    decontaminate_spans): every 7th doc is the held-out benchmark (the
+    bloom_decontaminate convention); the rest of the corpus has every
+    word covered by a benchmark-colliding 4-gram surgically removed —
+    heal, don't drop. Benchmark gram hashes broadcast; the only exchange
+    carries (doc_id, position) pairs for HITTING grams. The oracle
+    replays gramming, the hash join, covered-position expansion, and the
+    index-filter text rebuild."""
+    from kafka_connect_gcs_spark.operators.curation import decontaminate_spans
+    from kafka_connect_gcs_spark.operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    out = decontaminate_spans(corpus, bench, k=4, portable=True)
+    n = F.size(words(F.col("text")))
+    return out.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        (n - F.size(words(F.col("clean_text"))))
+        .cast("long")
+        .alias("words_removed"),
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
 def q_pagerank_domains(spark, sf_dir):
     """Link-graph authority ranking (operators/graph.py): damped PageRank
     in 2^-30 fixed-point BIGINT arithmetic over a deterministic link
@@ -1909,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_domains": q_pagerank_domains,
         "content_chunks": q_content_chunks,
         "chunk_dedup_cdc": q_chunk_dedup_cdc,
+        "decontaminate_spans": q_decontaminate_spans,
     }
 
 
@@ -2312,6 +2340,47 @@ def _cdc_chunk_rows_sql(doc_src: str, carry: str = "") -> str:
              md5(array_to_string(
                list_slice(ws, u.st, u.st + u.nw - 1), ' ')) AS chunk_hash
       FROM w7
+    """
+
+
+def _decontaminate_spans_sql(k: int = 4) -> str:
+    """DuckDB replay of q_decontaminate_spans: benchmark gram-hash set
+    (every 7th doc), corpus rolling {k}-gram positions with the SAME
+    portable md5-60bit gram hash as dedup_spans, covered-position
+    expansion (pos..pos+k-1, distinct), and the index-filter rebuild."""
+    gh = (
+        "('0x' || substr(md5(array_to_string("
+        f"list_slice(ws, pos, pos + {k - 1}), ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, {_words_sql()} AS ws FROM documents),
+      b AS (SELECT DISTINCT {gh} AS h
+            FROM (SELECT ws, unnest(range(1, len(ws) - {k} + 2)) AS pos
+                  FROM w WHERE doc_id % 7 = 0 AND len(ws) >= {k})),
+      gp AS (SELECT doc_id, pos, {gh} AS h
+             FROM (SELECT doc_id, ws,
+                          unnest(range(1, len(ws) - {k} + 2)) AS pos
+                   FROM w WHERE doc_id % 7 <> 0 AND len(ws) >= {k})),
+      hit AS (SELECT DISTINCT gp.doc_id, gp.pos FROM gp JOIN b USING (h)),
+      cov AS (SELECT doc_id, list(DISTINCT CAST(pos + j AS INT)) AS cv
+              FROM hit CROSS JOIN range({k}) t(j) GROUP BY doc_id),
+      fin AS (SELECT w.doc_id, len(w.ws) AS n,
+                     -- DuckDB 1.0 array_to_string(empty) is NULL, Spark
+                     -- concat_ws(empty) is '' — coalesce to match
+                     coalesce(array_to_string(list_transform(
+                       list_filter(range(1, CAST(len(w.ws) AS INT) + 1),
+                         i -> NOT list_contains(
+                                coalesce(cv, CAST([] AS INT[])),
+                                CAST(i AS INT))),
+                       i -> w.ws[i]), ' '), '') AS clean
+              FROM w LEFT JOIN cov USING (doc_id)
+              WHERE w.doc_id % 7 <> 0)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             CAST(n - CASE WHEN clean = '' THEN 0
+                      ELSE len(string_split(clean, ' ')) END AS BIGINT)
+               AS words_removed,
+             md5(clean) AS clean_hash
+      FROM fin
     """
 
 
@@ -3376,6 +3445,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents"
         ),
         "chunk_dedup_cdc": _chunk_dedup_sql(),
+        "decontaminate_spans": _decontaminate_spans_sql(),
     }
 
 

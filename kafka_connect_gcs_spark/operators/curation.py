@@ -133,6 +133,70 @@ def decontaminate(
 # -- repetition / Gopher quality rules -----------------------------------------
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    portable: bool = False,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Span-level decontamination: surgically REMOVE every word covered
+    by a ``k``-gram that also appears in the benchmark, instead of
+    dropping whole documents (:func:`decontaminate` flags; this heals).
+    The k=13 default is the GPT-3/PaLM exact-collision window.
+
+    Returns the corpus with ``out_col`` appended (docs with no hits pass
+    through verbatim). Cross-corpus twin of
+    ``dedup_spans.remove_dup_spans``: same rolling gram-position scan and
+    index-filter rebuild, but the duplicate test is membership in the
+    benchmark's gram-hash set rather than corpus-internal frequency.
+
+    Scale shape: the benchmark gram-hash set is distinct'd and
+    **broadcast** (eval suites are MBs against a TB corpus), so corpus
+    grams are probed map-side; the only exchange carries ``(doc_id,
+    position)`` pairs for grams that HIT the benchmark (rare by
+    definition) into the per-doc covered-set aggregate. Corpus text
+    never shuffles; the rebuild is map-side after a skinny left join.
+    """
+    from kafka_connect_gcs_spark.operators.dedup_spans import (
+        gram_positions,
+        rebuild_without_positions,
+    )
+
+    bench_h = (
+        gram_positions(
+            benchmark,
+            k=k,
+            text_col=bench_text_col or text_col,
+            id_col=bench_id_col or id_col,
+            portable=portable,
+        )
+        .select("h")
+        .distinct()
+    )
+    gp = gram_positions(
+        corpus, k=k, text_col=text_col, id_col=id_col, portable=portable
+    )
+    covered = (
+        gp.join(F.broadcast(bench_h), "h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("_covered"))
+    )
+    return rebuild_without_positions(
+        corpus, covered, text_col, id_col, out_col
+    )
+
+
 def _max_run_frac(arr: Column) -> Column:
     """max over distinct values of (occurrences / total), computed as the
     longest equal-run in the SORTED array via one aggregate scan —

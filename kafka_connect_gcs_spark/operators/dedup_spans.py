@@ -294,6 +294,20 @@ def remove_dup_spans(
         gp.unpersist()
         if dup_cache is not None:
             dup_cache.unpersist()
+    return rebuild_without_positions(df, covered, text_col, id_col, out_col)
+
+
+def rebuild_without_positions(
+    df: DataFrame,
+    covered: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Rebuild each doc's text dropping the 1-based word positions in
+    ``covered`` (``(id_col, _covered array<int>)``; docs absent from
+    ``covered`` pass through verbatim). The rebuild is an index filter
+    over the word array — per-doc state only, map-side after the join."""
     ws = words(F.col(text_col))
     kept = F.filter(
         F.zip_with(

@@ -163,6 +163,54 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_decontaminate_spans_removes_only_covered_words(spark):
+    from kafka_connect_gcs_spark.operators.curation import decontaminate_spans
+
+    # benchmark phrase "a b c d e" sits mid-doc; only its 5 words go
+    corpus = _docs(
+        spark,
+        [
+            (1, "u1 u2 a b c d e u3 u4"),
+            (2, "v1 v2 v3 v4 v5 v6"),  # no hit -> verbatim
+            (3, "a b c d e"),  # exact hit -> empty
+            (4, "a b c d x e"),  # broken gram -> no 5-gram hit
+        ],
+    )
+    bench = _docs(spark, [(9, "zz a b c d e yy")])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in decontaminate_spans(corpus, bench, k=5, portable=True).collect()
+    }
+    assert got[1] == "u1 u2 u3 u4"
+    assert got[2] == "v1 v2 v3 v4 v5 v6"
+    assert got[3] == ""
+    assert got[4] == "a b c d x e"
+
+
+def test_decontaminate_spans_overlapping_hits_merge(spark):
+    from kafka_connect_gcs_spark.operators.curation import decontaminate_spans
+
+    # benchmark contains "a b c d e f" -> two overlapping corpus 5-grams
+    corpus = _docs(spark, [(1, "p a b c d e f q")])
+    bench = _docs(spark, [(9, "a b c d e f")])
+    got = decontaminate_spans(corpus, bench, k=5, portable=True).collect()[0]
+    assert got["clean_text"] == "p q"
+
+
+def test_decontaminate_spans_plan_broadcasts_benchmark(spark):
+    from kafka_connect_gcs_spark.operators.curation import decontaminate_spans
+
+    corpus = _docs(spark, [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(20)])
+    bench = _docs(spark, [(0, "w0 x0 y0 z0 q0 r0")])
+    plan = (
+        decontaminate_spans(corpus, bench, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_pii_patterns_are_re2_safe():
     # the oracle runs these under DuckDB's RE2 — no backrefs/lookaround
     for pat in PII_PATTERNS.values():
