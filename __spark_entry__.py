@@ -1796,6 +1796,44 @@ def q_chunk_dedup_cdc(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML text extraction (operators/html.py): every document wrapped
+    in a deterministic page shell — title with an entity, a style block,
+    a commented-out link (must NOT be extracted), two real links (one
+    uppercase HREF with an entity), a script containing a naked '<'
+    (would corrupt tag-stripping if scripts weren't removed first) —
+    then title/links/text extracted by the shared RE2∩Java regex chain.
+    One map-only projection; the oracle runs the byte-identical patterns
+    (imported from the operator) under DuckDB's RE2."""
+    from kafka_connect_gcs_spark.operators.html import parse_html
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(" &amp; co</title><style>h1 {x:1}</style></head><body>"),
+        F.lit('<!-- hidden <a href="http://no.test/x">n</a> --><h1>Doc '),
+        did,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://site'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".test/p/"),
+        did,
+        F.lit('">next</a> <a HREF="/rel?a=1&amp;b=2">rel</a>'),
+        F.lit("<script>var a = 1 < 2;</script></body></html>"),
+    )
+    parsed = parse_html(d.select("doc_id", html.alias("html")))
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.concat_ws("|", "links").alias("links_joined"),
+        F.md5("text").alias("text_hash"),
+    )
+
+
 def q_decontaminate_spans(spark, sf_dir):
     """Span-level decontamination (operators/curation.py,
     decontaminate_spans): every 7th doc is the held-out benchmark (the
@@ -1937,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_chunks": q_content_chunks,
         "chunk_dedup_cdc": q_chunk_dedup_cdc,
         "decontaminate_spans": q_decontaminate_spans,
+        "html_extract": q_html_extract,
     }
 
 
@@ -2340,6 +2379,63 @@ def _cdc_chunk_rows_sql(doc_src: str, carry: str = "") -> str:
              md5(array_to_string(
                list_slice(ws, u.st, u.st + u.nw - 1), ' ')) AS chunk_hash
       FROM w7
+    """
+
+
+def _html_extract_sql() -> str:
+    """DuckDB replay of q_html_extract with the BYTE-IDENTICAL patterns
+    imported from operators/html.py (RE2 ∩ Java dialect; DuckDB
+    regexp_replace needs the explicit 'g' option — Spark's is global by
+    default). Entity decode chain generated from the same ENTITIES tuple
+    (amp last)."""
+    from kafka_connect_gcs_spark.operators.html import (
+        COMMENT_RE,
+        ENTITIES,
+        HEAD_RE,
+        HREF_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        TITLE_RE,
+    )
+
+    def ent(expr: str) -> str:
+        for e, r in ENTITIES:
+            rr = r.replace("'", "''")
+            expr = f"replace({expr}, '{e}', '{rr}')"
+        return expr
+
+    text = (
+        f"trim(regexp_replace({ent(f'''regexp_replace(regexp_replace(sv, '{HEAD_RE}', ' ', 'g'), '{TAG_RE}', ' ', 'g')''')}"
+        ", '\\s+', ' ', 'g'))"
+    )
+    title = f"trim({ent(f'''regexp_extract(sv, '{TITLE_RE}', 1)''')})"
+    return f"""
+      WITH inj AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || ' &amp; co</title><style>h1 {{x:1}}</style></head><body>'
+          || '<!-- hidden <a href="http://no.test/x">n</a> --><h1>Doc '
+          || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+          || '</p><a href="https://site' || CAST(doc_id % 5 AS VARCHAR)
+          || '.test/p/' || CAST(doc_id AS VARCHAR)
+          || '">next</a> <a HREF="/rel?a=1&amp;b=2">rel</a>'
+          || '<script>var a = 1 < 2;</script></body></html>' AS html
+        FROM documents),
+      s AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '{COMMENT_RE}', ' ', 'g'),
+                '{SCRIPT_RE}', ' ', 'g'),
+                '{STYLE_RE}', ' ', 'g') AS sv
+            FROM inj)
+      SELECT doc_id,
+             {title} AS title,
+             CAST(len(regexp_extract_all(sv, '{HREF_RE}', 1)) AS BIGINT)
+               AS n_links,
+             array_to_string(regexp_extract_all(sv, '{HREF_RE}', 1), '|')
+               AS links_joined,
+             md5({text}) AS text_hash
+      FROM s
     """
 
 
@@ -3446,6 +3542,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_dedup_cdc": _chunk_dedup_sql(),
         "decontaminate_spans": _decontaminate_spans_sql(),
+        "html_extract": _html_extract_sql(),
     }
 
 

@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "topk_per_domain",
     "score_percentile_by_lang",
     "top_fraction_by_lang",
+    "pagerank_domains",
+    "content_chunks",
+    "chunk_dedup_cdc",
+    "decontaminate_spans",
+    "html_extract",
 ]
 
 
