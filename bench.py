@@ -531,6 +531,24 @@ def bench_ops(spark, work_dir: str) -> dict:
             F.sum("shuffle_rank")
         ).collect()
         out["shuffle"] = round(time.time() - t0, 3)
+
+    from kafka_connect_gcs_spark.operators.cdc_chunking import (
+        chunk_dedup_stats,
+        content_defined_chunks,
+    )
+
+    if want("cdc_chunk"):
+        # map-only chunker (production xxhash path) + the hash-only dedup
+        # exchange; the replicated corpus gives every chunk R duplicates,
+        # so the stats agg carries a realistic dedup shape. The light
+        # corpus: per-word fold work dominates fixed costs early.
+        heavy = _replicated_corpus(spark, R_LIGHT)
+        t0 = time.time()
+        ch = content_defined_chunks(heavy).withColumn("grp", F.lit("all"))
+        chunk_dedup_stats(ch, by_col="grp").agg(
+            F.sum("total_chunks")
+        ).collect()
+        out["cdc_chunk"] = round(time.time() - t0, 3)
     return out
 
 

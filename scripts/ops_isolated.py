@@ -37,6 +37,7 @@ OPS = [
     "quality_classifier",
     "line_dedup",
     "shuffle",
+    "cdc_chunk",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
