@@ -1882,6 +1882,100 @@ def q_pagerank_domains(spark, sf_dir):
     return pagerank(edges, iterations=5).select("node", "rank_fp")
 
 
+def q_cdc_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): the events feed is
+    split into 4 micro-batches by a hash of the offset (so cross-batch
+    delivery order is wildly out of order vs the offset order), batch 3
+    additionally REPLAYS every batch-0 event verbatim, and a per-group
+    (n_keys, sum_value) rollup over the live LWW state is maintained
+    purely from batch deltas — retractions included — with a
+    localCheckpoint per batch standing in for the icebox commit. The
+    oracle computes the rollup DIRECTLY from the full feed's LWW final
+    state with no batching, so a hash match proves the delta algebra
+    (strict-greater apply rule, retract-then-insert contributions,
+    exact DECIMAL carry, zero-key group drop) is exact under
+    out-of-order AND duplicated delivery."""
+    from kafka_connect_gcs_spark.operators.ivm import incremental_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("offset"),
+        F.col("event_type").alias("grp"),
+        F.col("value"),
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    bid = F.pmod(F.xxhash64(F.col("offset"), F.lit(41)), F.lit(4))
+    batches = [feed.where(bid == i) for i in range(4)]
+    batches[3] = batches[3].unionByName(batches[0])  # exactly-once replay
+    out = incremental_rollup(batches, materialize=True)
+    return out.select(
+        "grp", "n_keys", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout audit (operators/zorder.py): orders re-clustered
+    along the Morton curve over (o_custkey, order day) — exact integer
+    quantization (in-plan min/max broadcast back, never a driver
+    constant) + unrolled bit interleave — then the deterministic
+    equal-width bucket audit: per z-bucket row count and BOTH columns'
+    min/max, the numbers a manifest would carry and a scan would prune
+    with. The oracle replays quantization, interleave, and bucketing
+    bit-for-bit in DuckDB."""
+    from kafka_connect_gcs_spark.operators.zorder import zorder_bucket_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = _t(spark, sf_dir, "orders")
+    days = F.expr("unix_timestamp(o_orderdate) div 86400").alias("order_day")
+    df = o.select("o_custkey", days)
+    return zorder_bucket_stats(
+        df, ["o_custkey", "order_day"], bits=8, num_buckets=16
+    )
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction (operators/search.py,
+    tfidf_topk_terms): top-5 terms per doc by smoothed TF-IDF over the
+    corpus's own statistics — postings built once (the shared BM25
+    doc_term_freqs relation), document frequency one map-side-combined
+    aggregate, N broadcast in-plan, and a per-document (vocab-bounded)
+    top-k window. Scores are rounded to 9 decimals BEFORE ranking so the
+    oracle's ln() can never reorder ties differently."""
+    from kafka_connect_gcs_spark.operators.search import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, k=5)
+
+
+def q_line_quality(spark, sf_dir):
+    """Line-granular quality signals (operators/curation.py,
+    line_quality_stats — the C4/FineWeb filter family): docs are given a
+    deterministic multi-line shape (a bullet line every 3rd doc, a short
+    nav-chrome line every 4th, a whitespace-only line every 5th that the
+    blank filter must drop, and a terminal-punctuation line), then
+    n_lines / frac_end_punct / frac_bullet / frac_short /
+    mean_line_words are computed in ONE map-only projection of nested
+    HOFs over the staged line array. The oracle replays the injection
+    and every list fold."""
+    from kafka_connect_gcs_spark.operators.curation import line_quality_stats
+
+    d = _t(spark, sf_dir, "documents")
+    did, t = F.col("doc_id"), F.col("text")
+    inj = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 50),
+            F.when(did % 3 == 0, F.lit("- first bullet item")),
+            F.when(did % 4 == 0, F.lit("ok then")),
+            F.when(did % 5 == 0, F.lit("   ")),
+            F.concat(F.substring(t, 51, 60), F.lit(".")),
+        ).alias("text"),
+    )
+    return line_quality_stats(inj)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1976,6 +2070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_cdc": q_chunk_dedup_cdc,
         "decontaminate_spans": q_decontaminate_spans,
         "html_extract": q_html_extract,
+        "cdc_incremental_rollup": q_cdc_incremental_rollup,
+        "zorder_layout": q_zorder_layout,
+        "tfidf_keywords": q_tfidf_keywords,
+        "line_quality": q_line_quality,
     }
 
 
@@ -3543,7 +3641,116 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_cdc": _chunk_dedup_sql(),
         "decontaminate_spans": _decontaminate_spans_sql(),
         "html_extract": _html_extract_sql(),
+        # IVM: the oracle IGNORES batching entirely — direct rollup over
+        # the LWW final state; the incremental path must land exactly here
+        "cdc_incremental_rollup": f"""
+          SELECT last_event_type AS grp,
+                 count(*) AS n_keys,
+                 round(CAST(SUM(CAST(last_value AS DECIMAL(18,6)))
+                            AS DOUBLE), 6) AS sum_value
+          FROM ({latest})
+          WHERE last_event_type <> 'error'
+          GROUP BY last_event_type
+        """,
+        "zorder_layout": _zorder_sql(),
+        "tfidf_keywords": f"""
+          WITH w AS (
+            SELECT doc_id, unnest({_words_sql()}) AS word FROM documents
+          ), pairs AS (
+            SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+          ), dfreq AS (
+            SELECT word, count(*) AS doc_freq FROM pairs GROUP BY 1
+          ), n AS (SELECT count(*) AS n_docs FROM documents),
+          s AS (
+            SELECT doc_id, word, tf, doc_freq,
+                   round(tf * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 9)
+                     AS tfidf
+            FROM pairs JOIN dfreq USING (word) CROSS JOIN n
+          ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, word) AS rank
+            FROM s
+          )
+          SELECT doc_id, word AS term, tf, doc_freq, tfidf,
+                 CAST(rank AS BIGINT) AS rank
+          FROM r WHERE rank <= 5
+        """,
+        "line_quality": """
+          WITH inj AS (
+            SELECT doc_id, concat_ws(chr(10),
+                     substr(text, 1, 50),
+                     CASE WHEN doc_id % 3 = 0 THEN '- first bullet item' END,
+                     CASE WHEN doc_id % 4 = 0 THEN 'ok then' END,
+                     CASE WHEN doc_id % 5 = 0 THEN '   ' END,
+                     substr(text, 51, 60) || '.') AS text
+            FROM documents
+          ), l AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS ls
+            FROM inj
+          ), m AS (
+            SELECT doc_id, ls, len(ls) AS nl,
+                   list_transform(ls, x -> len(list_filter(
+                     string_split_regex(lower(trim(x)), '\\s+'),
+                     w -> w <> ''))) AS wc
+            FROM l
+          )
+          SELECT doc_id,
+                 CAST(nl AS BIGINT) AS n_lines,
+                 CASE WHEN nl > 0 THEN round(
+                   len(list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')))
+                   / CAST(nl AS DOUBLE), 6) ELSE 0.0 END AS frac_end_punct,
+                 CASE WHEN nl > 0 THEN round(
+                   len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]')))
+                   / CAST(nl AS DOUBLE), 6) ELSE 0.0 END AS frac_bullet,
+                 CASE WHEN nl > 0 THEN round(
+                   len(list_filter(wc, c -> c < 4))
+                   / CAST(nl AS DOUBLE), 6) ELSE 0.0 END AS frac_short,
+                 CASE WHEN nl > 0 THEN round(
+                   list_aggregate(wc, 'sum') / CAST(nl AS DOUBLE), 6)
+                 ELSE 0.0 END AS mean_line_words
+          FROM m
+        """,
     }
+
+
+def _zorder_sql(bits: int = 8, num_buckets: int = 16) -> str:
+    """DuckDB replay of the Morton curve over (o_custkey, order day)
+    (q_zorder_layout / operators/zorder.py): in-plan min/max, exact
+    integer affine quantization, the unrolled shift/mask interleave, and
+    the equal-width z-bucket audit — all int64 arithmetic, so the two
+    engines agree bit-for-bit."""
+    top = (1 << bits) - 1
+    width = max((1 << (bits * 2)) // num_buckets, 1)
+    terms = " + ".join(
+        f"(((q{i} >> {b}) & 1) << {2 * b + i})"
+        for b in range(bits)
+        for i in (0, 1)
+    )
+    return f"""
+      WITH src AS (
+        SELECT o_custkey,
+               date_diff('second', TIMESTAMP '1970-01-01', o_orderdate)
+                 // 86400 AS order_day
+        FROM orders
+      ), mm AS (
+        SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+               min(order_day) AS mn1, max(order_day) AS mx1
+        FROM src
+      ), q AS (
+        SELECT o_custkey, order_day,
+               ((o_custkey - mn0) * {top}) // greatest(mx0 - mn0, 1) AS q0,
+               ((order_day - mn1) * {top}) // greatest(mx1 - mn1, 1) AS q1
+        FROM src CROSS JOIN mm
+      ), z AS (
+        SELECT o_custkey, order_day, ({terms}) AS z FROM q
+      )
+      SELECT z // {width} AS bucket, count(*) AS n_rows,
+             min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+             min(order_day) AS min_order_day, max(order_day) AS max_order_day
+      FROM z GROUP BY 1
+    """
 
 
 def _bloom_sql(m: int = 1 << 17, k: int = 5) -> str:

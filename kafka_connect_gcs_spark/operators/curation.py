@@ -478,3 +478,58 @@ def quality_gate(
         .withColumn("keep", F.size("reasons") == 0)
         .drop("_ws", "_g2", "_g3")
     )
+
+
+# -- line-level quality signals (FineWeb/C4 style) ----------------------------
+
+
+def line_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document LINE-granular quality signals — the C4/FineWeb family
+    of filters that document-level stats can't see (a page of nav chrome
+    has fine word lengths but almost no terminal punctuation):
+
+    * ``n_lines`` — non-blank lines;
+    * ``frac_end_punct`` — fraction of non-blank lines ending in
+      ``. ! ? "`` (C4 keeps only such lines);
+    * ``frac_bullet`` — fraction starting with a bullet marker
+      (Gopher drops docs with > 90% bullet lines);
+    * ``frac_short`` — fraction with < 4 words (nav/menu chrome);
+    * ``mean_line_words`` — mean words per non-blank line.
+
+    One map-only projection of nested HOFs over a staged line array —
+    zero exchanges, streams unchanged at any scale, and every function
+    is in the RE2∩Java regex dialect so the DuckDB oracle replays it.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    staged = df.select(F.col(id_col), lines.alias("_lines"))
+    nl = F.size(F.col("_lines"))
+    line_words = lambda l: F.filter(  # noqa: E731
+        F.split(F.lower(F.trim(l)), r"\s+"), lambda w: w != ""
+    )
+    n_match = lambda pat: F.size(  # noqa: E731
+        F.filter(F.col("_lines"), lambda l: F.trim(l).rlike(pat))
+    )
+    total_words = F.aggregate(
+        F.col("_lines"),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.size(line_words(l)),
+    )
+    frac = lambda num: F.when(  # noqa: E731
+        nl > 0, F.round(num / nl.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        id_col,
+        nl.cast("long").alias("n_lines"),
+        frac(n_match(r'[.!?"]$')).alias("frac_end_punct"),
+        frac(n_match(r"^[-*•]")).alias("frac_bullet"),
+        frac(
+            F.size(F.filter(F.col("_lines"), lambda l: F.size(line_words(l)) < 4))
+        ).alias("frac_short"),
+        F.when(nl > 0, F.round(total_words / nl.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_line_words"),
+    )

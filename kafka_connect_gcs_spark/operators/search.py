@@ -136,3 +136,62 @@ def bm25_topk(
     out = out.localCheckpoint(eager=True)
     hit.unpersist()
     return out
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by smoothed
+    TF-IDF (``tf · (ln((N+1)/(df+1)) + 1)`` — the sklearn-flavored idf
+    that never goes negative), ties broken by term so the ranking is
+    total and engine-portable.
+
+    Scale shape: the postings relation (one explode + partial-agg
+    groupBy, shared with BM25's :func:`doc_term_freqs`) IS the shuffle
+    floor; document frequency is one map-side-combined aggregate over
+    the postings; N is a 1-row broadcast computed in-plan; the top-k
+    window partitions BY DOCUMENT — millions of vocabulary-bounded
+    groups, no global funnel. The score is rounded to 9 decimals before
+    ranking so float ulp differences can never reorder engines.
+    """
+    from pyspark.sql import Window
+
+    pairs = doc_term_freqs(df, text_col=text_col, id_col=id_col)
+    dfreq = pairs.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        pairs.join(dfreq, "word")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("doc_freq") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("word").alias("term"),
+            "tf",
+            "doc_freq",
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
