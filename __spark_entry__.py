@@ -1976,6 +1976,88 @@ def q_line_quality(spark, sf_dir):
     return line_quality_stats(inj)
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization dedup (operators/urls.py, dedup_by_url): four
+    URL variants of the same page injected per id-quad — www + plain,
+    uppercase scheme + shuffled params + fragment, explicit default port
+    + a utm tracking param — plus an https/trailing-slash variant that
+    must NOT collapse (different scheme and path are different
+    resources). Canonicalization (lowercase scheme/host, default-port
+    drop, tracking-param strip, SORTED query params) is one map-only
+    projection; the groups are one map-side-combined groupBy on the
+    canonical string. The oracle replays every regex and the list sort."""
+    from kafka_connect_gcs_spark.operators.urls import dedup_by_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    p = F.expr("doc_id div 4").cast("string")
+    v = did % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("http://www.page"), p, F.lit(".example.com/a/"), p,
+                F.lit("?x=1&y=2"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://page"), p, F.lit(".example.com/a/"), p,
+                F.lit("?y=2&x=1#frag"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://page"), p, F.lit(".example.com:80/a/"), p,
+                F.lit("?utm_source=news&x=1&y=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://page"), p, F.lit(".example.com/a/"), p,
+                F.lit("/?x=1&y=2"),
+            ),
+        )
+    )
+    return dedup_by_url(d.select("doc_id", url.alias("url")))
+
+
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation (operators/html.py, anchor_text_agg —
+    composing the HTML extractor with the URL domain chain): every doc
+    becomes a page with four anchors — a varying-target news link whose
+    anchor text carries an entity, a CDN link whose anchor holds an
+    inner <b> tag (must strip), a commented-out link (must NOT count),
+    and a relative link (no authority — excluded by contract). Per
+    target registrable domain: inbound links, distinct linking docs,
+    distinct anchors, and the deterministic first anchor. The oracle
+    replays the anchor regex, the entity/tag scrub, the host/domain
+    rules, and the aggregate."""
+    from kafka_connect_gcs_spark.operators.html import anchor_text_agg
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><body><p>intro</p><a href=\"https://www.news"),
+        s(did % 7),
+        F.lit(".com/a/"),
+        s(did),
+        F.lit("\">Breaking &amp; exclusive "),
+        s(did % 11),
+        F.lit("</a><!-- <a href=\"http://skip.me/x\">no</a> -->"),
+        F.lit("<a HREF=\"//cdn"),
+        s(did % 3),
+        F.lit(".media-host.net/x\">see <b>photos</b> now</a>"),
+        F.lit("<a href=\"/rel/"),
+        s(did),
+        F.lit("\">local nav</a></body></html>"),
+    )
+    return anchor_text_agg(d.select("doc_id", html.alias("html")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2074,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "tfidf_keywords": q_tfidf_keywords,
         "line_quality": q_line_quality,
+        "url_dedup": q_url_dedup,
+        "anchor_text_agg": q_anchor_text_agg,
     }
 
 
@@ -3712,7 +3796,154 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 0.0 END AS mean_line_words
           FROM m
         """,
+        "url_dedup": _url_dedup_sql(),
+        "anchor_text_agg": _anchor_agg_sql(),
     }
+
+
+def _anchor_agg_sql() -> str:
+    """DuckDB replay of q_anchor_text_agg with the BYTE-IDENTICAL
+    patterns imported from operators/html.py and operators/urls.py:
+    injection, invisible-region strip, whole-anchor extraction, per-
+    element href/anchor scrub (tags → entities → ws collapse), host +
+    registrable domain, and the per-domain aggregate."""
+    from kafka_connect_gcs_spark.operators.html import (
+        ANCHOR_RE,
+        COMMENT_RE,
+        ENTITIES,
+        HREF_RE,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+    )
+    from kafka_connect_gcs_spark.operators.urls import (
+        _HOST_RE,
+        DEFAULT_TWO_LEVEL_SUFFIXES,
+    )
+
+    def ent(expr: str) -> str:
+        for e, r in ENTITIES:
+            rr = r.replace("'", "''")
+            expr = f"replace({expr}, '{e}', '{rr}')"
+        return expr
+
+    anchor = (
+        f"trim(regexp_replace({ent(f'''regexp_replace(e, '{TAG_RE}', ' ', 'g')''')}"
+        ", '\\s+', ' ', 'g'))"
+    )
+    sufs = ", ".join(f"'{s}'" for s in DEFAULT_TWO_LEVEL_SUFFIXES)
+    return f"""
+      WITH inj AS (
+        SELECT doc_id,
+          '<html><body><p>intro</p><a href="https://www.news'
+          || CAST(doc_id % 7 AS VARCHAR) || '.com/a/'
+          || CAST(doc_id AS VARCHAR) || '">Breaking &amp; exclusive '
+          || CAST(doc_id % 11 AS VARCHAR)
+          || '</a><!-- <a href="http://skip.me/x">no</a> -->'
+          || '<a HREF="//cdn' || CAST(doc_id % 3 AS VARCHAR)
+          || '.media-host.net/x">see <b>photos</b> now</a>'
+          || '<a href="/rel/' || CAST(doc_id AS VARCHAR)
+          || '">local nav</a></body></html>' AS html
+        FROM documents),
+      s AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '{COMMENT_RE}', ' ', 'g'),
+                '{SCRIPT_RE}', ' ', 'g'),
+                '{STYLE_RE}', ' ', 'g') AS sv
+            FROM inj),
+      el AS (SELECT doc_id, unnest(regexp_extract_all(sv, '{ANCHOR_RE}', 0)) AS e
+             FROM s),
+      fa AS (SELECT doc_id,
+                    regexp_extract(e, '{HREF_RE}', 1) AS href,
+                    {anchor} AS anchor
+             FROM el),
+      lab AS (SELECT doc_id, anchor,
+                     lower(regexp_extract(href, '{_HOST_RE}', 1)) AS host,
+                     string_split(lower(regexp_extract(href, '{_HOST_RE}', 1)),
+                                  '.') AS ls
+              FROM fa),
+      dom AS (SELECT doc_id, anchor,
+                CASE WHEN len(ls) <= 2 THEN host
+                     WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)),
+                                          '.') IN ({sufs})
+                     THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)),
+                                          '.')
+                     ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)),
+                                          '.')
+                END AS domain
+              FROM lab)
+      SELECT domain, count(*) AS n_links,
+             count(DISTINCT doc_id) AS n_src_docs,
+             count(DISTINCT anchor) AS n_anchors,
+             min(anchor) AS first_anchor
+      FROM dom WHERE domain <> '' GROUP BY 1
+    """
+
+
+def _url_dedup_sql() -> str:
+    """DuckDB replay of q_url_dedup: the injected variants, then the full
+    canonicalization chain (fragment strip, scheme default+lowercase,
+    authority/port/path/query extraction with the BYTE-IDENTICAL regexes
+    imported from operators/urls.py, tracking-param filter, sorted
+    params) and the group-by. array_to_string of an empty list is NULL in
+    DuckDB where Spark's concat_ws gives '' — coalesced."""
+    from kafka_connect_gcs_spark.operators.urls import TRACKING_PARAM_RE
+
+    return f"""
+      WITH inj AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'http://www.page' || (doc_id // 4) ||
+                             '.example.com/a/' || (doc_id // 4) || '?x=1&y=2'
+                 WHEN 1 THEN 'HTTP://page' || (doc_id // 4) ||
+                             '.example.com/a/' || (doc_id // 4) || '?y=2&x=1#frag'
+                 WHEN 2 THEN 'http://page' || (doc_id // 4) ||
+                             '.example.com:80/a/' || (doc_id // 4) ||
+                             '?utm_source=news&x=1&y=2'
+                 ELSE 'https://page' || (doc_id // 4) ||
+                      '.example.com/a/' || (doc_id // 4) || '/?x=1&y=2'
+               END AS url
+        FROM documents
+      ), c AS (
+        SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM inj
+      ), parts AS (
+        SELECT doc_id, u,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                 AS sch0,
+               regexp_extract(u,
+                 '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^/?#]*)',
+                 1) AS authority,
+               regexp_extract(u,
+                 '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?[^/?#]*(/[^?#]*)?',
+                 1) AS path0,
+               regexp_extract(u, '\\?(.*)$', 1) AS qraw
+        FROM c
+      ), norm AS (
+        SELECT doc_id,
+               CASE WHEN sch0 = '' THEN 'http' ELSE sch0 END AS scheme,
+               regexp_replace(regexp_replace(
+                 lower(regexp_replace(authority, ':[0-9]+$', '')),
+                 '\\.$', ''), '^www\\.', '') AS host,
+               regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+               CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(qraw, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')
+               )), '&'), '') AS query
+        FROM parts
+      ), canon AS (
+        SELECT doc_id,
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END ||
+               path ||
+               CASE WHEN query = '' THEN '' ELSE '?' || query END AS canon_url
+        FROM norm
+      )
+      SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_variants
+      FROM canon GROUP BY 1
+    """
 
 
 def _zorder_sql(bits: int = 8, num_buckets: int = 16) -> str:

@@ -126,3 +126,73 @@ def parse_html(
         ),
     )
     return df.select(id_col, *carry_cols, F.inline(F.array(parts)))
+
+
+#: a complete visible ``<a href="...">...</a>`` element (double-quoted
+#: href, RE2∩Java dialect, lazy body so adjacent anchors don't merge)
+ANCHOR_RE = r"(?is)<a\s[^>]*href\s*=\s*\"[^\"]*\"[^>]*>.*?</a>"
+
+
+def extract_anchors(col: Column) -> Column:
+    """``array<struct<href,anchor>>`` of the VISIBLE ``<a>`` elements:
+    the raw href plus the anchor's rendered text (inner tags stripped,
+    entities decoded, whitespace collapsed) in document order. The
+    invisible-region strip runs once on the whole page; the per-element
+    regexes cost ∝ the (bounded) link count."""
+    elems = F.regexp_extract_all(strip_invisible(col), F.lit(ANCHOR_RE), 0)
+    return F.transform(
+        elems,
+        lambda e: F.struct(
+            F.regexp_extract(e, HREF_RE, 1).alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    decode_entities(F.regexp_replace(e, TAG_RE, " ")),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("anchor"),
+        ),
+    )
+
+
+def anchor_text_agg(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-text aggregation per TARGET registrable domain — the
+    link-context signal web pipelines mine for ranking (the classic
+    anchor-text corpus) and for label-free topic hints: for every domain
+    the crawl links TO, the inbound link count, distinct linking docs,
+    distinct anchor strings, and the lexicographically first anchor (a
+    deterministic exemplar). Relative hrefs carry no authority and are
+    excluded — resolution against a base URL is a crawl-frontier concern.
+
+    Scale shape: one map-only extract + explode (∝ links on the page,
+    bodies never carried), then ONE aggregate keyed by the target
+    domain; the two exact count-distincts expand the link rows 2× into
+    the shuffle — the floor for exact per-domain distinct counts (swap
+    in HLL from :mod:`sketches` when approximate is acceptable at the
+    full 10^10-link graph).
+    """
+    from kafka_connect_gcs_spark.operators.urls import (
+        registrable_domain,
+        url_host,
+    )
+
+    flat = df.select(
+        F.col(id_col), F.explode(extract_anchors(F.col(html_col))).alias("a")
+    ).select(
+        id_col,
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    tgt = flat.withColumn(
+        "domain", registrable_domain(url_host(F.col("href")))
+    ).where(F.col("domain") != "")
+    return tgt.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(id_col).alias("n_src_docs"),
+        F.countDistinct("anchor").alias("n_anchors"),
+        F.min("anchor").alias("first_anchor"),
+    )

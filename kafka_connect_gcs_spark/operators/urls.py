@@ -127,3 +127,90 @@ def filter_blocked_domains(
     if mode == "drop":
         return out.where(~flag).drop(domain_col)
     return out.withColumn(flag_col, flag)
+
+
+#: query parameters that never identify a resource — the classic tracking
+#: set stripped by crawl canonicalizers (RE2∩Java dialect, anchored).
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+
+#: scheme → default port, dropped during canonicalization
+_DEFAULT_PORTS = (("http", "80"), ("https", "443"))
+
+
+def canonicalize_url(
+    col: Column,
+    strip_www: bool = True,
+    tracking_param_re: str = TRACKING_PARAM_RE,
+) -> Column:
+    """Canonical form of an http(s)-ish URL for frontier/corpus dedup:
+    fragment dropped, scheme + host lowercased (missing scheme →
+    ``http``), trailing-dot and (optionally) ``www.`` stripped from the
+    host, default ports removed, empty path normalized to ``/``, query
+    parameters filtered of tracking keys and SORTED so parameter order
+    can't split a group. Everything is codegen regex + array built-ins —
+    one map-only projection, replayable in DuckDB.
+
+    The path keeps its exact bytes (``/a/b`` vs ``/a/b/`` are different
+    resources — collapsing them is a recall/precision call this operator
+    refuses to make). Non-HTTP shapes (``mailto:`` etc.) canonicalize
+    deterministically but meaninglessly; filter them upstream with
+    :func:`url_host` if the corpus carries them.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    authority = F.regexp_extract(
+        u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^/?#]*)", 1
+    )
+    host = F.lower(F.regexp_replace(authority, r":\d+$", ""))
+    host = F.regexp_replace(host, r"\.$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    is_default = F.lit(False)
+    for sch, prt in _DEFAULT_PORTS:
+        is_default = is_default | ((scheme == sch) & (port == prt))
+    portpart = F.when(
+        (port == "") | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(
+        u, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?[^/?#]*(/[^?#]*)?", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qraw = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qraw, "&"),
+        lambda p: (p != "") & ~p.rlike(tracking_param_re),
+    )
+    query = F.concat_ws("&", F.array_sort(params))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        portpart,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canon_col: str = "canon_url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """URL-keyed exact dedup groups: one row per canonical URL with the
+    deterministic keeper (min id) and the variant count. Map-only
+    canonicalization, then ONE map-side-combined groupBy on the
+    canonical string — shuffle ∝ distinct URLs, the floor for a
+    frontier/corpus URL table. Semi-join the keeper ids back against the
+    corpus to materialize surviving documents."""
+    canon = canonicalize_url(F.col(url_col), strip_www=strip_www)
+    staged = df.select(F.col(id_col), canon.alias(canon_col))
+    return staged.groupBy(canon_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

@@ -62,3 +62,47 @@ def test_plan_is_map_only(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(DOC).alias("html"))
     plan = parse_html(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# -- anchors ------------------------------------------------------------------
+
+
+def _anchors(spark, html):
+    from kafka_connect_gcs_spark.operators.html import extract_anchors
+
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(
+        extract_anchors(F.col("html")).alias("a")
+    ).collect()[0]["a"]
+
+
+def test_extract_anchors_pairs_and_scrub(spark):
+    got = _anchors(
+        spark,
+        '<a href="http://x.com/1">one &amp; only</a>'
+        '<a HREF="/rel">see <b>two</b>\n now</a>'
+        '<!-- <a href="http://no.com">gone</a> -->',
+    )
+    assert [(a["href"], a["anchor"]) for a in got] == [
+        ("http://x.com/1", "one & only"),
+        ("/rel", "see two now"),
+    ]
+
+
+def test_anchor_text_agg_groups_by_target_domain(spark):
+    from kafka_connect_gcs_spark.operators.html import anchor_text_agg
+
+    rows = [
+        (1, '<a href="http://a.site.com/x">read this</a>'
+            '<a href="http://b.site.com/y">read this</a>'),
+        (2, '<a href="http://site.com/z">other text</a>'
+            '<a href="/relative">nav</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r["domain"]: r for r in anchor_text_agg(df).collect()}
+    assert set(out) == {"site.com"}
+    r = out["site.com"]
+    assert r["n_links"] == 3
+    assert r["n_src_docs"] == 2
+    assert r["n_anchors"] == 2
+    assert r["first_anchor"] == "other text"

@@ -148,3 +148,85 @@ def test_plan_contract(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(exchanges) == 1 and "domain#" in exchanges[0], plan
+
+
+# -- canonicalization ---------------------------------------------------------
+
+
+def _canon(spark, urls, **kw):
+    from kafka_connect_gcs_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c
+        for r in df.select(
+            canonicalize_url(F.col("url"), **kw).alias("c")
+        ).collect()
+    ]
+
+
+def test_canonicalize_variants_collapse(spark):
+    variants = [
+        "http://www.Site.com/a/b?x=1&y=2",
+        "HTTP://site.com/a/b?y=2&x=1#frag",
+        "http://site.com:80/a/b?utm_source=n&x=1&y=2",
+        "http://site.com./a/b?x=1&y=2&gclid=abc",
+        "//site.com/a/b?x=1&y=2",            # scheme-relative -> http
+    ]
+    got = _canon(spark, variants)
+    assert set(got) == {"http://site.com/a/b?x=1&y=2"}
+
+
+def test_canonicalize_preserves_real_differences(spark):
+    got = _canon(
+        spark,
+        [
+            "https://site.com/a/b?x=1",   # https stays https
+            "http://site.com/a/b/",       # trailing slash is a real path
+            "http://site.com:8080/a/b",   # non-default port kept
+            "http://sub.site.com/a/b",    # subdomain kept (only www strips)
+            "http://site.com/a/b?x=2",    # different param value
+        ],
+    )
+    assert len(set(got)) == 5
+    assert "http://site.com:8080/a/b" in got
+
+
+def test_canonicalize_edge_shapes(spark):
+    got = _canon(
+        spark,
+        [
+            "http://site.com",            # no path -> /
+            "http://site.com?y=2&x=1",    # query with no path
+            "http://user:pw@site.com/p",  # userinfo stripped
+            "https://site.com:443/p",     # default https port dropped
+        ],
+    )
+    assert got == [
+        "http://site.com/",
+        "http://site.com/?x=1&y=2",
+        "http://site.com/p",
+        "https://site.com/p",
+    ]
+
+
+def test_canonicalize_keep_www(spark):
+    got = _canon(spark, ["http://www.site.com/p"], strip_www=False)
+    assert got == ["http://www.site.com/p"]
+
+
+def test_dedup_by_url_groups(spark):
+    from kafka_connect_gcs_spark.operators.urls import dedup_by_url
+
+    rows = [
+        (1, "http://www.site.com/p?b=2&a=1"),
+        (2, "http://site.com/p?a=1&b=2#x"),
+        (3, "http://site.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canon_url"]: (r["keep_id"], r["n_variants"])
+           for r in dedup_by_url(df).collect()}
+    assert out == {
+        "http://site.com/p?a=1&b=2": (1, 2),
+        "http://site.com/other": (3, 1),
+    }
