@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "chunk_dedup_cdc",
     "decontaminate_spans",
     "html_extract",
+    "cdc_incremental_rollup",
+    "zorder_layout",
+    "tfidf_keywords",
+    "line_quality",
+    "url_dedup",
+    "anchor_text_agg",
 ]
 
 
