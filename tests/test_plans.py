@@ -293,3 +293,79 @@ def test_spread_small_input_probe_is_metadata_only(spark, tmp_path):
     assert "RoundRobinPartitioning" in explain_str(
         spread_small_input(mem, is_small=True), mode="simple"
     )
+
+
+def test_line_quality_is_map_only(spark, sf_dir):
+    """line_quality_stats must add ZERO exchanges — one nested-HOF
+    projection over the staged line array."""
+    from kafka_connect_gcs_spark.operators.curation import line_quality_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_quality_stats(docs)
+    plan = explain_str(out, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert num_python_udf_nodes(out) == 0
+
+
+def test_url_canonicalize_is_map_only(spark, sf_dir):
+    """canonicalize_url is pure codegen regex/array work; dedup groups
+    add exactly the ONE aggregate exchange on the canonical key."""
+    from kafka_connect_gcs_spark.operators.urls import (
+        canonicalize_url,
+        dedup_by_url,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("http://h"), F.col("doc_id")).alias("url")
+    )
+    proj = docs.select(canonicalize_url(F.col("url")).alias("c"))
+    assert "Exchange" not in explain_str(proj, mode="simple")
+    grouped = dedup_by_url(docs)
+    plan = explain_str(grouped, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert has_partial_aggregate(grouped)
+
+
+def test_zorder_key_broadcasts_minmax_and_stays_jvm(spark, sf_dir):
+    """with_zorder_key: the min/max is a broadcast 1-row join (never a
+    driver constant), the interleave is codegen, nothing per-row in
+    Python."""
+    from kafka_connect_gcs_spark.operators.zorder import with_zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    out = with_zorder_key(o, ["o_orderkey", "o_custkey"], bits=8)
+    # the 1-row min/max aggregate rides an IdentityBroadcast nested-loop
+    # join (no key to hash on), not a BroadcastHashJoin
+    plan = explain_str(out, mode="simple")
+    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
+    assert num_python_udf_nodes(out) == 0
+
+
+def test_ivm_batch_apply_aggregates_partially_mapside(spark, sf_dir):
+    """The batch LWW collapse inside apply_batch must plan with map-side
+    combine, same contract as the main dedup path (A23/A26)."""
+    from kafka_connect_gcs_spark.operators.ivm import batch_winners
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("offset"),
+        F.col("event_type").alias("grp"),
+        F.col("value"),
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    assert has_partial_aggregate(batch_winners(ev))
+
+
+def test_tfidf_topk_shuffles_postings_not_text(spark, sf_dir):
+    """tfidf_topk_terms: no document text may reach an exchange — the
+    shuffles carry (doc, word, tf) postings only."""
+    from kafka_connect_gcs_spark.operators.search import tfidf_topk_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(tfidf_topk_terms(docs, k=3), mode="formatted")
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
