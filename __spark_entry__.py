@@ -2058,6 +2058,47 @@ def q_anchor_text_agg(spark, sf_dir):
     return anchor_text_agg(d.select("doc_id", html.alias("html")))
 
 
+def q_table_changes(spark, sf_dir):
+    """Incremental changelog read (icebox/changes.py, table_changes — the
+    Iceberg-incremental-scan / Delta-table_changes analog): the events
+    feed becomes a CDC feed (user_id → doc_id, 'error' → tombstone),
+    committed through the REAL merge path in two batches split by
+    offset%4 (so cross-batch delivery is interleaved/out-of-order), and
+    the changelog between the two snapshots is read back via the
+    metadata-diff candidate scan. The oracle derives the same I/U/D rows
+    from the raw feed alone — LWW at the batch boundary vs LWW over all
+    events — so a hash match proves the manifest/DV symmetric-difference
+    candidate set misses nothing and the pre/post-image rule is exact."""
+    import tempfile
+
+    from kafka_connect_gcs_spark.icebox.changes import table_changes
+    from kafka_connect_gcs_spark.icebox.table import IceboxTable
+    from kafka_connect_gcs_spark.operators.merge import (
+        CDC_TABLE_FIELDS,
+        merge_into,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("offset"),
+        F.array((F.col("event_id") % 97).cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+    root = tempfile.mkdtemp(prefix="icebox-changes-q-")
+    table = IceboxTable.create(spark, root, CDC_TABLE_FIELDS)
+    merge_into(table, feed.where(F.col("offset") % 4 < 2), "b0")
+    v1 = table.current_version()
+    merge_into(table, feed.where(F.col("offset") % 4 >= 2), "b1")
+    v2 = table.current_version()
+    ch = table_changes(table, v1, v2)
+    return ch.select("change", "doc_id", "source", "old_offset", "new_offset")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2158,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_quality": q_line_quality,
         "url_dedup": q_url_dedup,
         "anchor_text_agg": q_anchor_text_agg,
+        "table_changes": q_table_changes,
     }
 
 
@@ -3798,6 +3840,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_dedup": _url_dedup_sql(),
         "anchor_text_agg": _anchor_agg_sql(),
+        # the oracle never sees the table: it derives the changelog from
+        # the raw feed — LWW at the batch boundary vs LWW over everything
+        "table_changes": """
+          WITH f AS (
+            SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                   event_id AS off,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type AS source
+            FROM events
+          ), a AS (
+            SELECT doc_id, off, op, source FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY off DESC) rn
+              FROM f WHERE off % 4 < 2) WHERE rn = 1
+          ), b AS (
+            SELECT doc_id, off, op, source FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY off DESC) rn
+              FROM f) WHERE rn = 1
+          ), j AS (
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   a.off AS ao, a.op AS aop, a.source AS asrc,
+                   b.off AS bo, b.op AS bop, b.source AS bsrc,
+                   (a.doc_id IS NOT NULL AND a.op <> 'D') AS old_live,
+                   (b.doc_id IS NOT NULL AND b.op <> 'D') AS new_live
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+          )
+          SELECT CASE WHEN NOT old_live AND new_live THEN 'I'
+                      WHEN old_live AND NOT new_live THEN 'D'
+                      ELSE 'U' END AS change,
+                 doc_id,
+                 CASE WHEN old_live AND NOT new_live THEN asrc
+                      ELSE bsrc END AS source,
+                 ao AS old_offset, bo AS new_offset
+          FROM j
+          WHERE (old_live <> new_live)
+             OR (old_live AND new_live AND ao <> bo)
+        """,
     }
 
 

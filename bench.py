@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "line_quality",
     "url_dedup",
     "anchor_text_agg",
+    "table_changes",
 ]
 
 
