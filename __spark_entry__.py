@@ -2099,6 +2099,39 @@ def q_table_changes(spark, sf_dir):
     return ch.select("change", "doc_id", "source", "old_offset", "new_offset")
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5/UL2 span corruption (operators/masking.py): docs tokenized with
+    the portable 7-hex-md5 ids (the pack_sequences convention), then ONE
+    map-only projection selects non-adjacent mask spans via a greedy fold
+    over per-position md5 draws and assembles (inputs, targets) with
+    sentinel ids — deterministic under retries/AQE by construction. The
+    oracle replays the draw AND the greedy scan (a string-state
+    list_reduce, the BPE-oracle technique) and the slice assembly, so the
+    md5'd input/target sequences are hash-exact."""
+    from kafka_connect_gcs_spark.operators.masking import span_corruption
+    from kafka_connect_gcs_spark.operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            words(F.col("text")),
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
+                F.lit(32000),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+    out = span_corruption(toks, p_start=0.08, span_len=3, seed=5)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        "n_spans",
+        F.md5(F.concat_ws(" ", F.col("inputs"))).alias("inputs_hash"),
+        F.md5(F.concat_ws(" ", F.col("targets"))).alias("targets_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2200,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "anchor_text_agg": q_anchor_text_agg,
         "table_changes": q_table_changes,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -3878,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE (old_live <> new_live)
              OR (old_live AND new_live AND ao <> bo)
         """,
+        "span_corruption": _span_corruption_sql(),
     }
 
 
@@ -4023,6 +4058,88 @@ def _url_dedup_sql() -> str:
       )
       SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_variants
       FROM canon GROUP BY 1
+    """
+
+
+def _span_corruption_sql(
+    p: float = 0.08, L: int = 3, sentinel: int = 100_000, seed: int = 5
+) -> str:
+    """DuckDB replay of q_span_corruption: portable token ids, the
+    per-position md5 draw, the greedy next-free scan as a STRING-state
+    list_reduce ('nf|s1,s2,…' — the BPE-oracle fold technique; DuckDB's
+    list_reduce seeds from the first element, so an 'I' marker row
+    initializes the state), then slice assembly with 1-based indexed
+    list_transform (DuckDB's lambda index is 1-based where Spark's is
+    0-based — the k-1 below is that conversion)."""
+    h60 = float(1 << 60)
+    # The greedy scan is replayed WITHOUT list_reduce: DuckDB 1.0's
+    # list_reduce produces different (wrong) results when a vector batch
+    # carries several rows — even with zero correlated references in the
+    # lambda — while a single-row filtered run agrees with Spark.
+    # Equivalent formulation: greedy fixed-length selection is a pointer
+    # chase (each hit's successor = the first hit past its exclusion
+    # zone), so a recursive CTE from each doc's first hit through the
+    # precomputed successor table yields exactly the selected starts —
+    # the neardup_components oracle technique. list_transform correlation
+    # (the draw below) is sound; every green oracle relies on it.
+    draw = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(i AS VARCHAR) || "
+        f"':{seed}'), 1, 15))::BIGINT + 0.5) / {h60}"
+    )
+    return f"""
+      WITH RECURSIVE w AS (
+        SELECT doc_id,
+               list_transform({_words_sql()},
+                 t -> CAST(('0x' || substr(md5(t), 1, 7))::BIGINT % 32000
+                           AS INT)) AS toks
+        FROM documents
+      ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n FROM w
+      ), hitrows AS (
+        SELECT doc_id, CAST(i AS INT) AS i
+        FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM sized)
+        WHERE i + {L} <= n AND {draw} < {p}
+      ), first_hit AS (
+        SELECT doc_id, min(i) AS s FROM hitrows GROUP BY doc_id
+      ), nxt AS (
+        SELECT a.doc_id, a.i AS cur, min(b.i) AS nxt
+        FROM hitrows a LEFT JOIN hitrows b
+          ON b.doc_id = a.doc_id AND b.i > a.i + {L}
+        GROUP BY a.doc_id, a.i
+      ), sel(doc_id, s) AS (
+        SELECT doc_id, s FROM first_hit
+        UNION
+        SELECT x.doc_id, x.nxt FROM sel JOIN nxt x
+          ON x.doc_id = sel.doc_id AND x.cur = sel.s
+        WHERE x.nxt IS NOT NULL
+      ), selagg AS (
+        SELECT doc_id, list_sort(list(s)) AS starts FROM sel GROUP BY doc_id
+      ), sp AS (
+        SELECT z.doc_id, z.toks, z.n,
+               coalesce(sa.starts, CAST([] AS INT[])) AS starts
+        FROM sized z LEFT JOIN selagg sa USING (doc_id)
+      ), built AS (
+        SELECT doc_id, n, len(starts) AS n_spans,
+               flatten(list_transform(starts, (s, k) ->
+                 list_slice(toks,
+                   CASE WHEN k = 1 THEN 1
+                        ELSE starts[k - 1] + {L} + 1 END, s)
+                 || [{sentinel} + k - 1]))
+               || list_slice(toks,
+                    CASE WHEN len(starts) > 0
+                         THEN starts[len(starts)] + {L} + 1
+                         ELSE 1 END, n) AS inputs,
+               flatten(list_transform(starts, (s, k) ->
+                 [{sentinel} + k - 1] || list_slice(toks, s + 1, s + {L})))
+                 AS targets
+        FROM sp
+      )
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+             CAST(n_spans AS BIGINT) AS n_spans,
+             md5(coalesce(array_to_string(inputs, ' '), '')) AS inputs_hash,
+             md5(coalesce(array_to_string(targets, ' '), '')) AS targets_hash
+      FROM built
     """
 
 

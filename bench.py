@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "anchor_text_agg",
     "table_changes",
+    "span_corruption",
 ]
 
 
@@ -556,6 +557,44 @@ def bench_ops(spark, work_dir: str) -> dict:
             F.sum("total_chunks")
         ).collect()
         out["cdc_chunk"] = round(time.time() - t0, 3)
+    if want("ivm_rollup"):
+        # maintained-view delta maintenance: 4 sequential micro-batches
+        # (hash-split so delivery is out-of-order vs offsets), each paying
+        # the batch-LWW collapse + state join + rollup fold + a
+        # localCheckpoint materialization — the per-batch pipeline shape.
+        # Feed generation is spark.range-based (distributed, no exchange);
+        # the unused token arrays are pruned out of the generator plan.
+        from kafka_connect_gcs_spark.operators.ivm import incremental_rollup
+        from kafka_connect_gcs_spark.sources.binlog import (
+            BinlogSpec,
+            generate_changes,
+        )
+
+        # sized so the per-event work dominates the 4-batch serial floor
+        # (job dispatch + localCheckpoint constants don't parallelize): at
+        # R=120 → 7.2M events / 720k keys, ~90 s of single-core work
+        spec = BinlogSpec(
+            num_events=R * 60_000,
+            num_docs=R * 6_000,
+            seed=31,
+            num_partitions=8,
+            min_tokens=4,
+            max_tokens=8,
+        )
+        ivm_feed = generate_changes(spark, spec).select(
+            F.col("doc_id").alias("key"),
+            F.col("offset"),
+            F.col("source").alias("grp"),
+            F.col("n_tok").cast("double").alias("value"),
+            (F.col("op") == "D").alias("is_delete"),
+        )
+        t0 = time.time()
+        bid = F.pmod(F.xxhash64(F.col("offset"), F.lit(7)), F.lit(4))
+        batches = [ivm_feed.where(bid == i) for i in range(4)]
+        incremental_rollup(batches, materialize=True).agg(
+            F.sum("sum_value")
+        ).collect()
+        out["ivm_rollup"] = round(time.time() - t0, 3)
     return out
 
 

@@ -38,6 +38,7 @@ OPS = [
     "line_dedup",
     "shuffle",
     "cdc_chunk",
+    "ivm_rollup",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
