@@ -2132,6 +2132,34 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+def q_user_features(spark, sf_dir):
+    """Event-stream feature engineering (the classic per-entity
+    lag/moving-window shape a training pipeline derives from behavioral
+    logs): per user in (ts, event_id) order — 3-event moving average of
+    value, delta vs the previous event, cumulative event count, seconds
+    since the previous event. One window exchange partitioned by user
+    (bounded per-user groups at any corpus scale — never a global
+    funnel); total frame order (ts, event_id) so both engines fold the
+    same 3 doubles."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ma = w.rowsBetween(-2, 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(ma), 6).alias("ma3"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("dv"),
+        F.count(F.lit(1)).over(cum).alias("cum_n"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+        ).alias("gap_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2234,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "table_changes": q_table_changes,
         "span_corruption": q_span_corruption,
+        "user_features": q_user_features,
     }
 
 
@@ -3913,6 +3942,20 @@ def oracle_sql() -> dict[str, str]:
              OR (old_live AND new_live AND ao <> bo)
         """,
         "span_corruption": _span_corruption_sql(),
+        "user_features": """
+          SELECT user_id, event_id,
+                 round(avg(value) OVER w3, 6) AS ma3,
+                 round(value - lag(value, 1) OVER w, 6) AS dv,
+                 count(*) OVER wc AS cum_n,
+                 date_diff('second',
+                           lag(ts, 1) OVER w, ts) AS gap_s
+          FROM events
+          WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+        """,
     }
 
 

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "table_changes",
     "span_corruption",
+    "user_features",
 ]
 
 
