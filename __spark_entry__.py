@@ -2160,6 +2160,73 @@ def q_user_features(spark, sf_dir):
     )
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Semantic decontamination (operators/similarity.py,
+    decontaminate_embeddings): the reference set plants one PARAPHRASE
+    per 17th corpus vector (+1e-3 bump on one dimension — the
+    embedding_neardup convention, float32-exact in both engines) and one
+    VERBATIM copy per 11th, so both contamination modalities have known
+    ground truth; every corpus vector then computes max-cosine + hit
+    count against the ONE-row broadcast reference — a map-only plan, the
+    corpus never shuffles. The oracle is the exact cross join with the
+    order-matched float fold."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        decontaminate_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    bumped = e.where(F.col("vec_id") % 17 == 3).select(
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)),
+                (x + F.lit(0.001)).cast("float"),
+            ).otherwise(x),
+        ).alias("embedding")
+    )
+    verbatim = e.where(F.col("vec_id") % 11 == 0).select("embedding")
+    refs = bumped.unionByName(verbatim)
+    out = decontaminate_embeddings(e, refs, threshold=0.99)
+    return out.select("vec_id", "max_sim", "n_hits", "contaminated")
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL corpus ingestion (sources/jsonl.py): documents serialized to
+    JSONL through the writer path, every 13th line truncated mid-object
+    (malformed JSON), then parsed back against the PINNED schema with
+    corrupt-line quarantine — the file-format twin of the A16 type-gate.
+    Good rows round-trip byte-exact (md5 of the text field); quarantined
+    lines are absent, so the oracle is simply the surviving documents'
+    fields recomputed directly."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_gcs_spark.sources.jsonl import parse_jsonl
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("text"), "lang"
+    )
+    js = d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "text", "lang")).alias("_j"),
+    )
+    lines = js.select(
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring("_j", 1, 20)
+        )
+        .otherwise(F.col("_j"))
+        .alias("value")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, _bad = parse_jsonl(lines, schema)
+    return good.select("doc_id", F.md5("text").alias("text_hash"), "lang")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2263,6 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "span_corruption": q_span_corruption,
         "user_features": q_user_features,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        "jsonl_ingest": q_jsonl_ingest,
     }
 
 
@@ -3942,6 +4011,37 @@ def oracle_sql() -> dict[str, str]:
              OR (old_live AND new_live AND ao <> bo)
         """,
         "span_corruption": _span_corruption_sql(),
+        # good rows are a byte-exact round-trip; corrupt (every 13th)
+        # lines are quarantined, so the oracle recomputes the survivors
+        "jsonl_ingest": """
+          SELECT doc_id, md5(substr(text, 1, 80)) AS text_hash, lang
+          FROM documents WHERE doc_id % 13 <> 0
+        """,
+        "embedding_decontaminate": f"""
+          WITH ref AS (
+            SELECT list_transform(range(1, 65), i ->
+                     CASE WHEN i - 1 = vec_id % 64
+                          THEN CAST(embedding[i] + 0.001 AS FLOAT)
+                          ELSE embedding[i] END) AS rvec
+            FROM embeddings WHERE vec_id % 17 = 3
+            UNION ALL
+            SELECT embedding AS rvec FROM embeddings WHERE vec_id % 11 = 0
+          ), scored AS (
+            SELECT c.vec_id,
+                   CASE WHEN sqrt({_seqfold_dot_sql('c.embedding', 'c.embedding')})
+                             * sqrt({_seqfold_dot_sql('r.rvec', 'r.rvec')}) > 0
+                        THEN round({_seqfold_dot_sql('c.embedding', 'r.rvec')}
+                             / (sqrt({_seqfold_dot_sql('c.embedding', 'c.embedding')})
+                                * sqrt({_seqfold_dot_sql('r.rvec', 'r.rvec')})), 6)
+                        ELSE 0.0 END AS sim
+            FROM embeddings c CROSS JOIN ref r
+          )
+          SELECT vec_id, max(sim) AS max_sim,
+                 CAST(sum(CASE WHEN sim >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+                 max(sim) >= 0.99 AS contaminated
+          FROM scored GROUP BY vec_id
+        """,
         "user_features": """
           SELECT user_id, event_id,
                  round(avg(value) OVER w3, 6) AS ma3,
@@ -4116,9 +4216,11 @@ def _span_corruption_sql(
     0-based — the k-1 below is that conversion)."""
     h60 = float(1 << 60)
     # The greedy scan is replayed WITHOUT list_reduce: DuckDB 1.0's
-    # list_reduce produces different (wrong) results when a vector batch
-    # carries several rows — even with zero correlated references in the
-    # lambda — while a single-row filtered run agrees with Spark.
+    # list_reduce MISALIGNS results across rows when a vector batch
+    # carries several rows with long variable-length lists — row k can
+    # receive row k-1's (correct) fold output (repro: 500 rows × ~100
+    # elements → 9 shifted rows; single-row runs always agree with
+    # Spark). No correlated lambda reference is needed to trigger it.
     # Equivalent formulation: greedy fixed-length selection is a pointer
     # chase (each hit's successor = the first hit past its exclusion
     # zone), so a recursive CTE from each doc's first hit through the

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "table_changes",
     "span_corruption",
     "user_features",
+    "embedding_decontaminate",
+    "jsonl_ingest",
 ]
 
 

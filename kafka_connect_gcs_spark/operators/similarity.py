@@ -686,3 +686,45 @@ dedup_text.connected_components` (hash-to-min label propagation with
         F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
         F.coalesce(F.col("is_drop"), F.lit(False)).alias("is_drop"),
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose max cosine
+    against a reference/eval embedding set reaches ``threshold`` — the
+    embedding-space complement of the n-gram probes (bloom_decontaminate
+    catches verbatim text; this catches paraphrases that share the
+    eval item's embedding neighborhood).
+
+    Scale shape: the reference set is MAP-ONLY — eval suites are
+    KBs-to-MBs, so the vectors collapse into ONE bounded row
+    (collect_list aggregate) broadcast to every task, and each corpus
+    vector folds its similarities in place via a shared let-binding
+    (max + hit count from one sims array, no re-evaluation, no
+    exchange). The corpus never shuffles; output rides the scan.
+    """
+    from kafka_connect_gcs_spark.operators.cdc_chunking import let_
+
+    refs = reference.agg(F.collect_list(F.col(vec_col)).alias("_refs"))
+    sims = F.transform(
+        F.col("_refs"), lambda r: F.round(cosine(F.col(vec_col), r), 6)
+    )
+    parts = let_(
+        sims,
+        lambda s: F.struct(
+            F.coalesce(F.array_max(s), F.lit(0.0)).alias("max_sim"),
+            F.size(F.filter(s, lambda x: x >= F.lit(float(threshold))))
+            .cast("long")
+            .alias("n_hits"),
+        ),
+    )
+    return (
+        corpus.join(F.broadcast(refs))
+        .select(id_col, F.inline(F.array(parts)))
+        .withColumn("contaminated", F.col("max_sim") >= float(threshold))
+    )
