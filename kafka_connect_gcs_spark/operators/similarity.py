@@ -710,17 +710,37 @@ def decontaminate_embeddings(
     """
     from kafka_connect_gcs_spark.operators.cdc_chunking import let_
 
-    refs = reference.agg(F.collect_list(F.col(vec_col)).alias("_refs"))
-    sims = F.transform(
-        F.col("_refs"), lambda r: F.round(cosine(F.col(vec_col), r), 6)
-    )
+    # reference norms ride the broadcast row; the corpus norm is bound
+    # ONCE per row via let_ — without the bindings the norm folds re-run
+    # per (row, ref) pair and triple the per-pair work (measured 13.4 s →
+    # the dot-only floor at sf0.1). Same float ops in the same order, so
+    # the oracle's values are bit-identical either way.
+    refs = reference.select(
+        F.col(vec_col).alias("_rvec"), norm(F.col(vec_col)).alias("_rnorm")
+    ).agg(F.collect_list(F.struct("_rvec", "_rnorm")).alias("_refs"))
+
+    def sims_of(cn):
+        return F.transform(
+            F.col("_refs"),
+            lambda r: F.round(
+                F.when(
+                    cn * r["_rnorm"] > 0,
+                    dot(F.col(vec_col), r["_rvec"]) / (cn * r["_rnorm"]),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+
     parts = let_(
-        sims,
-        lambda s: F.struct(
-            F.coalesce(F.array_max(s), F.lit(0.0)).alias("max_sim"),
-            F.size(F.filter(s, lambda x: x >= F.lit(float(threshold))))
-            .cast("long")
-            .alias("n_hits"),
+        norm(F.col(vec_col)),
+        lambda cn: let_(
+            sims_of(cn),
+            lambda s: F.struct(
+                F.coalesce(F.array_max(s), F.lit(0.0)).alias("max_sim"),
+                F.size(F.filter(s, lambda x: x >= F.lit(float(threshold))))
+                .cast("long")
+                .alias("n_hits"),
+            ),
         ),
     )
     return (
