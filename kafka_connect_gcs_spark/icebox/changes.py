@@ -28,7 +28,9 @@ comparison sufficient.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -177,3 +179,57 @@ def _classify(
 def changes_since(table: IceboxTable, version: int) -> DataFrame:
     """Changelog from ``version`` to the current snapshot."""
     return table_changes(table, version)
+
+
+class ChangelogTail:
+    """A downstream consumer's cursor over the table's snapshot log — the
+    engine's own feed-tailing loop pointed AT the lake instead of at the
+    binlog. ``poll()`` returns the exact changelog from the last consumed
+    version to the current head; the caller processes it and then calls
+    ``advance()`` — the same consume-then-commit handoff as the ingest
+    checkpoint (a crash between the two replays the poll, and because
+    :func:`table_changes` is a pure function of two pinned versions, the
+    replay is bit-identical — exactly-once for any idempotent sink).
+
+    The cursor is one JSON file swapped by atomic rename; many
+    independent consumers = many cursor files (``name``).
+    """
+
+    def __init__(self, table: IceboxTable, cursor_dir: str, name: str = "tail"):
+        self.table = table
+        self.dir = os.path.abspath(cursor_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.path = os.path.join(self.dir, f"{name}.cursor.json")
+        self._pending: tuple[int, int] | None = None
+
+    def position(self) -> int:
+        if not os.path.exists(self.path):
+            return 0
+        with open(self.path) as f:
+            return int(json.load(f)["version"])
+
+    def poll(self) -> "tuple[DataFrame, int] | None":
+        """``(changes, to_version)`` for everything committed since the
+        cursor, or None when caught up. Safe to call repeatedly — the
+        cursor moves only in :meth:`advance`."""
+        frm = self.position()
+        to = self.table.current_version()
+        if to <= frm:
+            return None
+        self._pending = (frm, to)
+        return table_changes(self.table, frm, to), to
+
+    def advance(self, to_version: int) -> None:
+        """Commit the cursor after the caller durably processed the poll
+        result (must match the version ``poll`` handed out)."""
+        if self._pending is None or to_version != self._pending[1]:
+            raise ValueError(
+                f"advance({to_version}) without a matching poll"
+            )
+        tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(to_version)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path)
+        self._pending = None

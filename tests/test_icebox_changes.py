@@ -129,5 +129,55 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     assert ch.count() == 0  # schema-only commit changes no rows
 
 
+# -- changelog tail (downstream consumer cursor) ------------------------------
+
+
+def test_changelog_tail_consume_then_commit(spark, tmp_path):
+    from kafka_connect_gcs_spark.icebox.changes import ChangelogTail
+
+    table, versions = _build(spark, str(tmp_path), "auto")
+    tail = ChangelogTail(table, str(tmp_path / "cursors"))
+    # first poll sees EVERYTHING since v0
+    ch, to = tail.poll()
+    n_first = ch.count()
+    assert to == versions[-1] and n_first > 0
+    # crash before advance: a fresh tail re-polls the identical window
+    tail2 = ChangelogTail(table, str(tmp_path / "cursors"))
+    ch2, to2 = tail2.poll()
+    assert to2 == to and ch2.count() == n_first
+    tail2.advance(to2)
+    assert tail2.poll() is None  # caught up
+    # advance without a matching poll is rejected
+    with pytest.raises(ValueError):
+        tail2.advance(to2 + 1)
+    # a new commit wakes the tail with ONLY the new delta
+    from kafka_connect_gcs_spark.operators.merge import merge_into
+
+    extra = spark.createDataFrame(
+        [("zzz-new", "U", 10_000_000, [1, 2], 2, "s")],
+        "doc_id string, op string, offset long, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    merge_into(table, extra, "tail-extra")
+    ch3, to3 = tail2.poll()
+    rows = ch3.collect()
+    assert [(r["change"], r["doc_id"]) for r in rows] == [("I", "zzz-new")]
+    tail2.advance(to3)
+    assert tail2.poll() is None
+
+
+def test_two_independent_consumers(spark, tmp_path):
+    from kafka_connect_gcs_spark.icebox.changes import ChangelogTail
+
+    table, _versions = _build(spark, str(tmp_path), "cow")
+    a = ChangelogTail(table, str(tmp_path / "cursors"), name="a")
+    b = ChangelogTail(table, str(tmp_path / "cursors"), name="b")
+    ch_a, to_a = a.poll()
+    a.advance(to_a)
+    # b's cursor is untouched by a's progress
+    ch_b, to_b = b.poll()
+    assert to_b == to_a and ch_b.count() == ch_a.count()
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
