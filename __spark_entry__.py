@@ -3249,25 +3249,40 @@ def oracle_sql() -> dict[str, str]:
         # sample + nprobe=4/16 probing; every input to the number is a pure
         # function of the data and seeds). Regenerate by running
         # q_ann_topk_ivf at sf0.01 if parameters change.
+        # recall constants are a function of the corpus, so the pins are
+        # keyed by corpus size: 500 = sf0.001/sf0.01, 2000 = sf0.1 —
+        # the whole surface replays at BOTH gate scales
         "ann_topk_ivf": """
-          SELECT * FROM (VALUES
-            (0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
-            (1::BIGINT, 6::BIGINT, 0.6::DOUBLE),
-            (2::BIGINT, 4::BIGINT, 0.4::DOUBLE),
-            (3::BIGINT, 5::BIGINT, 0.5::DOUBLE),
-            (4::BIGINT, 6::BIGINT, 0.6::DOUBLE)
-          ) AS t(query_id, hits, recall)
+          SELECT t.query_id, t.hits, t.recall FROM (VALUES
+            (500, 0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (500, 1::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (500, 2::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (500, 3::BIGINT, 5::BIGINT, 0.5::DOUBLE),
+            (500, 4::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2000, 0::BIGINT, 8::BIGINT, 0.8::DOUBLE),
+            (2000, 1::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2000, 2::BIGINT, 5::BIGINT, 0.5::DOUBLE),
+            (2000, 3::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (2000, 4::BIGINT, 7::BIGINT, 0.7::DOUBLE)
+          ) AS t(corpus, query_id, hits, recall)
+          WHERE t.corpus = (SELECT count(*) FROM embeddings)
         """,
         # measured deterministic PQ ADC recall@10 at sf0.01 (hash-ordered
         # sample + fixed k-means init + literal-expr encode => bit-stable)
         "ann_topk_pq": """
-          SELECT * FROM (VALUES
-            (0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
-            (1::BIGINT, 2::BIGINT, 0.2::DOUBLE),
-            (2::BIGINT, 2::BIGINT, 0.2::DOUBLE),
-            (3::BIGINT, 2::BIGINT, 0.2::DOUBLE),
-            (4::BIGINT, 3::BIGINT, 0.3::DOUBLE)
-          ) AS t(query_id, hits, recall)
+          SELECT t.query_id, t.hits, t.recall FROM (VALUES
+            (500, 0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (500, 1::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (500, 2::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (500, 3::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (500, 4::BIGINT, 3::BIGINT, 0.3::DOUBLE),
+            (2000, 0::BIGINT, 1::BIGINT, 0.1::DOUBLE),
+            (2000, 1::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (2000, 2::BIGINT, 2::BIGINT, 0.2::DOUBLE),
+            (2000, 3::BIGINT, 3::BIGINT, 0.3::DOUBLE),
+            (2000, 4::BIGINT, 2::BIGINT, 0.2::DOUBLE)
+          ) AS t(corpus, query_id, hits, recall)
+          WHERE t.corpus = (SELECT count(*) FROM embeddings)
         """,
         "embedding_neardup": """
           WITH base AS (
@@ -3612,13 +3627,19 @@ def oracle_sql() -> dict[str, str]:
         # recall@10 at sf0.01 — vs raw ADC's 0.4/0.2/0.2/0.2/0.3
         # (ann_topk_pq); every input is a pure function of data + seeds
         "ann_topk_pq_refined": """
-          SELECT * FROM (VALUES
-            (0::BIGINT, 7::BIGINT, 0.7::DOUBLE),
-            (1::BIGINT, 3::BIGINT, 0.3::DOUBLE),
-            (2::BIGINT, 8::BIGINT, 0.8::DOUBLE),
-            (3::BIGINT, 6::BIGINT, 0.6::DOUBLE),
-            (4::BIGINT, 6::BIGINT, 0.6::DOUBLE)
-          ) AS t(query_id, hits, recall)
+          SELECT t.query_id, t.hits, t.recall FROM (VALUES
+            (500, 0::BIGINT, 7::BIGINT, 0.7::DOUBLE),
+            (500, 1::BIGINT, 3::BIGINT, 0.3::DOUBLE),
+            (500, 2::BIGINT, 8::BIGINT, 0.8::DOUBLE),
+            (500, 3::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (500, 4::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2000, 0::BIGINT, 4::BIGINT, 0.4::DOUBLE),
+            (2000, 1::BIGINT, 3::BIGINT, 0.3::DOUBLE),
+            (2000, 2::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2000, 3::BIGINT, 6::BIGINT, 0.6::DOUBLE),
+            (2000, 4::BIGINT, 4::BIGINT, 0.4::DOUBLE)
+          ) AS t(corpus, query_id, hits, recall)
+          WHERE t.corpus = (SELECT count(*) FROM embeddings)
         """,
         "take_top_fraction": """
           WITH r AS (
