@@ -2227,6 +2227,57 @@ def q_jsonl_ingest(spark, sf_dir):
     return good.select("doc_id", F.md5("text").alias("text_hash"), "lang")
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt URL governance (operators/robots.py): ten domains get
+    three deterministic robots shapes — a */Disallow+longer-Allow pair,
+    a foreign-bot group followed by a * group (scoping must skip the
+    foreign rules), and a file with NO * group (everything allowed) —
+    and every document becomes a URL with one of four path shapes.
+    parse → broadcast → RFC 9309 longest-match verdict, URL side
+    map-only. The oracle states the expected verdict in closed form from
+    the same variant arithmetic, so any parser/scoping/tie-break drift
+    on these shapes hash-mismatches (parser edge cases live in
+    tests/test_robots.py)."""
+    from kafka_connect_gcs_spark.operators.robots import govern_urls
+
+    k = F.col("k")
+    robots = spark.range(10).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias("domain"),
+        (F.col("id") % 3).alias("k"),
+    ).select(
+        "domain",
+        F.when(
+            k == 0,
+            F.lit(
+                "# policy\nUser-agent: *\nDisallow: /private\n"
+                "Allow: /private/ok\n"
+            ),
+        )
+        .when(
+            k == 1,
+            F.lit(
+                "User-agent: specialbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /tmp\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: otherbot\nDisallow: /\n"))
+        .alias("robots_txt"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), (did % 10).cast("string"), F.lit(".com"))
+        .alias("domain"),
+        F.when(did % 4 == 0, F.concat(F.lit("/private/doc"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/private/ok/"), did.cast("string")))
+        .when(did % 4 == 2, F.concat(F.lit("/tmp/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/page/"), did.cast("string")))
+        .alias("path"),
+    )
+    return govern_urls(urls, robots).select("doc_id", "domain", "path", "allowed")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2332,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_features": q_user_features,
         "embedding_decontaminate": q_embedding_decontaminate,
         "jsonl_ingest": q_jsonl_ingest,
+        "robots_gate": q_robots_gate,
     }
 
 
@@ -4037,6 +4089,25 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest": """
           SELECT doc_id, md5(substr(text, 1, 80)) AS text_hash, lang
           FROM documents WHERE doc_id % 13 <> 0
+        """,
+        # closed-form verdicts from the injected variant arithmetic:
+        # k=0 rules (/private deny, /private/ok allow), k=1 (/tmp deny
+        # under the * group only), k=2 (no * group -> all allowed)
+        "robots_gate": """
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS domain,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+                   ELSE '/page/' || CAST(doc_id AS VARCHAR)
+                 END AS path,
+                 CASE
+                   WHEN (doc_id % 10) % 3 = 0 AND doc_id % 4 = 0 THEN FALSE
+                   WHEN (doc_id % 10) % 3 = 1 AND doc_id % 4 = 2 THEN FALSE
+                   ELSE TRUE
+                 END AS allowed
+          FROM documents
         """,
         "embedding_decontaminate": f"""
           WITH ref AS (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "user_features",
     "embedding_decontaminate",
     "jsonl_ingest",
+    "robots_gate",
 ]
 
 
