@@ -83,11 +83,25 @@ def bm25_topk(
     postings cache released before returning, so a long-lived service
     calling this per query batch never accumulates cached relations.
     ``eager=False`` keeps the plan lazy (the cache is then LRU-evicted).
+
+    Scoring path: when the query vocabulary and query count are bounded
+    (the normal retrieval shape — both are human-scale), each scoring
+    task turns its slice of the postings into a dense (docs × |qvocab|)
+    tf-normalization matrix and scores every query in ONE matmul against
+    the idf-weighted query/term matrix (guide §4.2), followed by a
+    per-partition exact top-k. The r5 relational form materialized the
+    full (postings × queries-per-word) explosion — 254M rows at sf1.0 —
+    and hash-aggregated |Q|·|docs| groups (84M); the matmul computes the
+    identical per-(query, doc) sums (idf·tfn products with exact-zero
+    padding) without ever expanding the cross relation. idf values are
+    computed in the JVM and collected (a |qvocab|-row metadata relation),
+    so no Python transcendental enters the score. Degenerate shapes
+    (unbounded query vocabulary) keep the relational plan.
     """
     ws = words(F.col(text_col))
     postings = doc_term_freqs(docs, text_col=text_col, id_col=id_col)
 
-    # corpus-level constants as a 1-row relation (kept in-plan: no collect)
+    # corpus-level constants as a 1-row relation
     stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.size(ws)).alias("avgdl"),
@@ -100,7 +114,7 @@ def bm25_topk(
     qwords = qterms.select("word").distinct()
 
     # postings restricted to the query vocabulary — reused for both the
-    # df aggregate and the scoring join, so keep the narrow rows around
+    # df aggregate and the scoring pass, so keep the narrow rows around
     # for the two passes (released below under eager=True)
     hit = postings.join(F.broadcast(qwords), "word").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -120,14 +134,30 @@ def bm25_topk(
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
 
-    scored = (
-        hit.join(F.broadcast(dfreq), "word")
-        .join(F.broadcast(qterms), "word")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("_contrib", idf * tfn)
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("_contrib"), 6).alias("score"))
+    # query set and per-word idf are metadata-scale BY CONTRACT (the same
+    # assumption that lets the relational form broadcast them); collect
+    # both and dispatch on the actual sizes
+    qterm_rows = qterms.collect()
+    idf_rows = (
+        dfreq.crossJoin(F.broadcast(stats)).select("word", idf.alias("_idf"))
+        .collect()
     )
+    vocab = sorted({r["word"] for r in idf_rows})
+    if len(vocab) <= 4096 and len({r[0] for r in qterm_rows}) <= 65536:
+        scored = _bm25_scored_dense(
+            hit, stats, tfn, qterm_rows, idf_rows, vocab, k,
+            id_col=id_col, query_id_col=query_id_col,
+            qid_type=qterms.schema[query_id_col].dataType.simpleString(),
+        )
+    else:
+        scored = (
+            hit.join(F.broadcast(dfreq), "word")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("_contrib", idf * tfn)
+            .join(F.broadcast(qterms), "word")
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum("_contrib"), 6).alias("score"))
+        )
     out = topk_per_query(
         scored, k, query_id_col=query_id_col, id_col=id_col, sim_col="score"
     )
@@ -136,6 +166,111 @@ def bm25_topk(
     out = out.localCheckpoint(eager=True)
     hit.unpersist()
     return out
+
+
+def _bm25_scored_dense(
+    hit: DataFrame,
+    stats: DataFrame,
+    tfn,
+    qterm_rows,
+    idf_rows,
+    vocab,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    qid_type: str = "bigint",
+) -> DataFrame:
+    """(query_id, id, score) for every (query, doc) pair sharing ≥ 1 term,
+    pruned to the per-partition top candidates.
+
+    Per task: pivot its (doc, word, tfn) slice into a dense doc × vocab
+    matrix and multiply by the |Q| × vocab idf-weighted indicator matrix.
+    idf > 0 and tfn > 0 always, and absent terms contribute exact 0.0
+    (x + 0.0 == x in IEEE), so a score cell is > 0 exactly when the query
+    and doc share a term — the same pair set the relational join emits —
+    and each pair's sum is over the identical idf·tfn addends. Scores are
+    rounded (HALF_UP twin of F.round) BEFORE ranking, as in the
+    relational form. The tfn expression is evaluated in the JVM; only
+    pivot, matmul and top-k run in numpy.
+
+    Emits each partition's per-query top candidates under the total order
+    (score desc, id asc) — a superset filter identical in spirit to
+    topk_per_query's phase 1 (which still runs downstream and applies the
+    exact global rank)."""
+    import numpy as np
+
+    from kafka_connect_gcs_spark.operators.similarity import _round6
+
+    widx = {w: i for i, w in enumerate(vocab)}
+    idf_by_word = {r["word"]: float(r["_idf"]) for r in idf_rows}
+    qids = sorted({r[0] for r in qterm_rows})
+    qrow = {q: i for i, q in enumerate(qids)}
+    S = np.zeros((len(qids), len(vocab)), dtype=np.float64)
+    for r in qterm_rows:
+        w = r["word"]
+        if w in widx:  # query words absent from the corpus score nothing
+            S[qrow[r[0]], widx[w]] = idf_by_word[w]
+    qids_np = np.asarray(qids)
+
+    tfn_rel = hit.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.col("word"), tfn.alias("_tfn")
+    )
+
+    def score_part(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        doc_ids, doc_inv = np.unique(pdf[id_col].to_numpy(), return_inverse=True)
+        cols = np.fromiter(
+            (widx[w] for w in pdf["word"]), dtype=np.int64, count=len(pdf)
+        )
+        tfv = pdf["_tfn"].to_numpy()
+        out_q, out_d, out_s = [], [], []
+        # block over docs AND queries so the dense temporaries stay bounded
+        # regardless of partition size; each (doc-block, query) emits its
+        # local top-k and the exact global rank is applied downstream —
+        # a union of per-block top-k is a superset of the global top-k
+        for d0 in range(0, len(doc_ids), 8192):
+            d1 = min(d0 + 8192, len(doc_ids))
+            sel = (doc_inv >= d0) & (doc_inv < d1)
+            M = np.zeros((d1 - d0, len(vocab)), dtype=np.float64)
+            M[doc_inv[sel] - d0, cols[sel]] = tfv[sel]
+            ids_b = doc_ids[d0:d1]
+            for q0 in range(0, len(qids_np), 4096):
+                Sb = S[q0 : q0 + 4096]
+                raw = M @ Sb.T  # (docs_b, qb)
+                scores = _round6(raw)
+                for j in range(scores.shape[1]):
+                    # raw > 0 exactly when query∩doc terms ≠ ∅ (idf, tfn
+                    # > 0) — the relational join's pair set, kept even
+                    # when the ROUNDED score is 0.0
+                    nz = np.nonzero(raw[:, j] > 0.0)[0]
+                    if not len(nz):
+                        continue
+                    col = scores[:, j]
+                    order = nz[np.lexsort((ids_b[nz], -col[nz]))][:k]
+                    out_q.append(np.full(len(order), qids_np[q0 + j]))
+                    out_d.append(ids_b[order])
+                    out_s.append(col[order])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    id_type = hit.schema[id_col].dataType.simpleString()
+    return tfn_rel.repartition(
+        tfn_rel.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).mapInPandas(
+        score_part,
+        schema=f"{query_id_col} {qid_type}, {id_col} {id_type}, score double",
+    )
 
 
 def tfidf_topk_terms(

@@ -93,6 +93,110 @@ def cosine(a, b):
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# Bit-exact numpy twins of the Catalyst fold expressions above.
+#
+# The HOF folds (`dot`/`norm`) are interpreted per element — measured ~100 ns
+# per array slot, which is the entire cost of the brute-force similarity
+# queries once the pair count grows (guide §4.2: hand whole batches to
+# vectorized native code). These helpers reproduce the folds' EXACT float
+# semantics so plans can switch to numpy without moving a single output bit:
+#
+# * `zip_with(a, b, x*y)` multiplies in the array's ELEMENT type (float32 for
+#   array<float>, exact integers for array<long>) and `aggregate(_, 0.0D,
+#   acc+v)` accumulates in float64 in index order. `_seq_dot` replays that:
+#   per-dimension element-dtype product, float64 `+=` in dimension order —
+#   elementwise IEEE ops, so each step is bit-identical to the JVM's.
+# * integer-valued arrays make every product and partial sum exactly
+#   representable in float64 (quantized embeddings: |v| ≤ ~2^11, dims ≤ 2^7
+#   ⇒ sums < 2^53), so the fold is order-independent and one BLAS matmul
+#   returns the identical doubles at full speed.
+# * `F.round(x, 6)` on doubles is BigDecimal(shortest-repr).setScale(6,
+#   HALF_UP). `_round6` uses a vectorized floor(+0.5) fast path and falls
+#   back to decimal.Decimal(repr(x)) only within 1e-4 of a .5 boundary —
+#   conservative by ~5 orders of magnitude vs the repr-vs-binary gap.
+# ---------------------------------------------------------------------------
+
+
+def _np_elem_kind(df: DataFrame, vec_col: str) -> str:
+    """'int' | 'float' | 'double' — the array element class that decides
+    which exact numpy path replays the Catalyst fold."""
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    if elem in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    return "float" if elem == "float" else "double"
+
+
+def _round6(x):
+    """Vectorized twin of ``F.round(col, 6)`` for float64 ndarrays."""
+    import numpy as np
+
+    s = np.sign(x)
+    y = np.abs(x) * 1e6
+    f = np.floor(y)
+    frac = y - f
+    out = np.where(frac >= 0.5, f + 1.0, f) / 1e6 * np.where(s == 0.0, 1.0, s)
+    risky = np.abs(frac - 0.5) < 1e-4
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_out = out.reshape(-1)
+        flat_x = x.reshape(-1)
+        for i in np.nonzero(risky.reshape(-1))[0]:
+            flat_out[i] = float(
+                Decimal(repr(float(flat_x[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    # BigDecimal never yields -0.0; the sign trick can
+    return np.where(out == 0.0, 0.0, out)
+
+
+def _seq_cross_dot(A, B, kind: str):
+    """All-pairs dot A(n,d)×B(m,d) → float64 (n,m), bit-identical to the
+    ``dot`` fold per pair. Integer-valued inputs take one exact BLAS
+    matmul; float inputs replay the per-dimension product dtype."""
+    import numpy as np
+
+    if kind == "int":
+        return A.astype(np.float64) @ B.astype(np.float64).T
+    work = np.float32 if kind == "float" else np.float64
+    AT = np.ascontiguousarray(A.T.astype(work, copy=False))
+    BT = np.ascontiguousarray(B.T.astype(work, copy=False))
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for k in range(AT.shape[0]):
+        acc += np.multiply.outer(AT[k], BT[k])
+    return acc
+
+
+def _seq_norms(A, kind: str):
+    """Row norms of A(n,d) as float64, bit-identical to the ``norm`` fold."""
+    import numpy as np
+
+    if kind == "int":
+        A64 = A.astype(np.float64)
+        return np.sqrt(np.einsum("ij,ij->i", A64, A64))
+    work = np.float32 if kind == "float" else np.float64
+    AT = A.T.astype(work, copy=False)
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for k in range(AT.shape[0]):
+        acc += (AT[k] * AT[k]).astype(np.float64)
+    return np.sqrt(acc)
+
+
+def _pair_sims(A, B, kind: str):
+    """round6(cosine) for every (row of A, row of B) pair — the numpy twin
+    of ``F.round(cosine(a, b), 6)`` including the denominator-zero guard
+    (Spark's NaN>0 is true, so NaN denominators fall through to the
+    division like the Catalyst expression)."""
+    import numpy as np
+
+    dots = _seq_cross_dot(A, B, kind)
+    denom = np.multiply.outer(_seq_norms(A, kind), _seq_norms(B, kind))
+    take = (denom > 0) | np.isnan(denom)
+    safe = np.where(denom != 0.0, denom, 1.0)
+    return _round6(np.where(take, dots / safe, 0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -355,14 +459,15 @@ def ivf_assign(
       consumer's scan. At true 100 TB scale this column is what you'd
       precompute at write time and store as a partition key.
     """
-    # a small input (fewer partitions than cores) is spread with one
-    # round-robin repartition first: the interpreted-HOF assignment is
-    # embarrassingly parallel and otherwise pins to the input's file count
-    # (same rule as minhash/simhash; a no-op at scale where the scan
-    # already has >= core-count partitions)
-    target_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target_parallelism:
-        df = df.repartition(target_parallelism)
+    # a small input (fewer files than cores) is spread with one
+    # round-robin repartition first: the assignment is embarrassingly
+    # parallel and otherwise pins to the input's file count (same rule as
+    # minhash/simhash via the shared helper, which probes inputFiles()
+    # instead of forcing a plan→RDD translation; a no-op at scale where
+    # the scan already has >= core-count partitions)
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    df = spread_small_input(df)
     memo_key = (
         cache_key, num_centroids, iterations, seed, sample_per_centroid,
         id_col, vec_col,
@@ -602,30 +707,81 @@ def neardup_pairs_cosine(
     """Pairs with cosine ≥ threshold. exact=True does the full n² self-join
     (oracle path); otherwise candidates come from matching random-hyperplane
     buckets (high-cosine pairs collide with high probability; multi-probe
-    by also joining on neighbor buckets is left to callers needing recall)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    by also joining on neighbor buckets is left to callers needing recall).
+
+    The bucketed path scores each bucket's intra-bucket pairs in one
+    vectorized numpy pass per group (guide §4.2) instead of a per-pair
+    interpreted-HOF cosine on the bucket self-join — `_pair_sims` replays
+    the fold arithmetic bit-exactly, so qualifying pairs and their sims
+    are hash-identical to the expression form (asserted by the
+    lsh-vs-exact consistency tests). Candidate volume is unchanged
+    (Σ bucket², never n²); what changes is only the per-pair cost."""
     if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        ab = df.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("v_a"),
-            rp_bucket(F.col(vec_col), num_planes, dim=dim).alias("bkt"),
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
+            )
+            .where(F.col("sim") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
         )
-        bb = df.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("v_b"),
-            rp_bucket(F.col(vec_col), num_planes, dim=dim).alias("bkt"),
+
+    import numpy as np
+
+    kind = _np_elem_kind(df, vec_col)
+    np_in = {"int": np.int64, "float": np.float32, "double": np.float64}[kind]
+    thr = float(threshold)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np_in, copy=False)
+        out_a, out_b, out_s = [], [], []
+        # block the pair matrix so a hot bucket can't allocate O(n²) at once
+        step = 4096
+        for i0 in range(0, n, step):
+            A = V[i0 : i0 + step]
+            for j0 in range(i0, n, step):
+                sims = _pair_sims(A, V[j0 : j0 + step], kind)
+                if i0 == j0:
+                    iu, ju = np.triu_indices(len(A), k=1)
+                else:
+                    iu, ju = np.indices(sims.shape)
+                    iu, ju = iu.reshape(-1), ju.reshape(-1)
+                s = sims[iu, ju]
+                keep = s >= thr
+                out_a.append(ids[i0 + iu[keep]])
+                out_b.append(ids[j0 + ju[keep]])
+                out_s.append(s[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
         )
-        pairs = ab.join(bb, "bkt").where(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim")
-        )
-        .where(F.col("sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        rp_bucket(F.col(vec_col), num_planes, dim=dim).alias("bkt"),
     )
+    pairs = bucketed.groupBy("bkt").applyInPandas(
+        bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def semantic_dedup(
@@ -702,49 +858,65 @@ def decontaminate_embeddings(
     eval item's embedding neighborhood).
 
     Scale shape: the reference set is MAP-ONLY — eval suites are
-    KBs-to-MBs, so the vectors collapse into ONE bounded row
-    (collect_list aggregate) broadcast to every task, and each corpus
-    vector folds its similarities in place via a shared let-binding
-    (max + hit count from one sims array, no re-evaluation, no
-    exchange). The corpus never shuffles; output rides the scan.
+    KBs-to-MBs (index metadata, like IVF centroids), so the vectors ship
+    to every task by closure and each Arrow batch of the corpus scores
+    against the whole reference matrix in one vectorized numpy pass
+    (guide §4.2). The corpus never shuffles; output rides the scan.
+
+    The numpy arithmetic is the bit-exact twin of the previous Catalyst
+    HOF formulation (`_pair_sims`: element-dtype products, float64
+    index-order accumulation, HALF_UP rounding), so results are
+    hash-identical — the prior plan evaluated the interpreted fold
+    |corpus|·|refs|·dim times on however many partitions the (tiny)
+    parquet scan had, which at sf1.0 was ONE task for ~8 minutes.
     """
-    from kafka_connect_gcs_spark.operators.cdc_chunking import let_
+    import numpy as np
 
-    # reference norms ride the broadcast row; the corpus norm is bound
-    # ONCE per row via let_ — without the bindings the norm folds re-run
-    # per (row, ref) pair and triple the per-pair work (measured 13.4 s →
-    # the dot-only floor at sf0.1). Same float ops in the same order, so
-    # the oracle's values are bit-identical either way.
-    refs = reference.select(
-        F.col(vec_col).alias("_rvec"), norm(F.col(vec_col)).alias("_rnorm")
-    ).agg(F.collect_list(F.struct("_rvec", "_rnorm")).alias("_refs"))
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
 
-    def sims_of(cn):
-        return F.transform(
-            F.col("_refs"),
-            lambda r: F.round(
-                F.when(
-                    cn * r["_rnorm"] > 0,
-                    dot(F.col(vec_col), r["_rvec"]) / (cn * r["_rnorm"]),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
-
-    parts = let_(
-        norm(F.col(vec_col)),
-        lambda cn: let_(
-            sims_of(cn),
-            lambda s: F.struct(
-                F.coalesce(F.array_max(s), F.lit(0.0)).alias("max_sim"),
-                F.size(F.filter(s, lambda x: x >= F.lit(float(threshold))))
-                .cast("long")
-                .alias("n_hits"),
-            ),
-        ),
+    kind = _np_elem_kind(corpus, vec_col)
+    ref_rows = reference.select(vec_col).collect()
+    np_in = {"int": np.int64, "float": np.float32, "double": np.float64}[kind]
+    R = (
+        np.array([list(r[0]) for r in ref_rows], dtype=np_in)
+        if ref_rows
+        else np.zeros((0, 1), dtype=np_in)
     )
-    return (
-        corpus.join(F.broadcast(refs))
-        .select(id_col, F.inline(F.array(parts)))
-        .withColumn("contaminated", F.col("max_sim") >= float(threshold))
+    thr = float(threshold)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np_in, copy=False)
+            if len(R):
+                # bound the per-slice (rows × refs) temporaries
+                step = max(1, 4_000_000 // len(R))
+                max_sim = np.empty(n, dtype=np.float64)
+                n_hits = np.empty(n, dtype=np.int64)
+                for s in range(0, n, step):
+                    sims = _pair_sims(C[s : s + step], R, kind)
+                    max_sim[s : s + step] = sims.max(axis=1)
+                    n_hits[s : s + step] = (sims >= thr).sum(axis=1)
+            else:
+                max_sim = np.zeros(n, dtype=np.float64)
+                n_hits = np.zeros(n, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_sim": max_sim,
+                    "n_hits": n_hits,
+                    "contaminated": max_sim >= thr,
+                }
+            )
+
+    out_schema = (
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        "max_sim double, n_hits bigint, contaminated boolean"
+    )
+    return spread_small_input(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema
     )

@@ -213,10 +213,9 @@ def winnow_fingerprints(
     """DataFrame-level winnowing: spreads a few-file input across cores
     first (per-doc hashing is embarrassingly parallel and otherwise pins to
     the input's file count — a single-file corpus runs on one task)."""
-    src = df.select(id_col, text_col)
-    tp = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < tp:
-        src = src.repartition(tp)
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    src = spread_small_input(df.select(id_col, text_col))
     # stage gram hashing into its own projection (see gram_hashes): the
     # sliding chain's duplicates then re-read an attribute, not re-hash
     return src.select(
