@@ -48,6 +48,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_t` + round-robin spread for the per-document compute-heavy
+    queries (md5 token/gram hashing, chunkers, HOF feature folds): the
+    small corpus tables arrive as ONE parquet file (2 scan tasks at sf1.0
+    under the bench's 8 MB split size), so without the spread a
+    map-dominated query pins to 2 of 32 cores (guide §2: input skew).
+    Purely a partitioning change — every consumer below is
+    partition-order independent, so results are identical."""
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
+    return spread_small_input(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # CDC / ingest family (events as the change feed: user_id = key,
 # event_id = offset, event_type 'error' = tombstone)
@@ -828,7 +841,7 @@ def q_bigram_logprob(spark, sf_dir):
     scrambled word order the unigram model can't see."""
     from kafka_connect_gcs_spark.operators.curation import bigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return bigram_logprob(d).select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
@@ -879,7 +892,7 @@ def q_length_batches(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.packing import length_bucket_batches
     from kafka_connect_gcs_spark.operators.text import ws_token_count
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _ts(spark, sf_dir, "documents").select(
         "doc_id", ws_token_count(F.col("text")).alias("n_tok")
     )
     out = length_bucket_batches(
@@ -943,7 +956,7 @@ def q_pack_sequences(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.packing import pack_sequences
     from kafka_connect_gcs_spark.operators.text import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.transform(
@@ -1003,7 +1016,7 @@ def q_token_budget_head(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.sampling import take_token_budget
     from kafka_connect_gcs_spark.operators.text import ws_token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tok")
     )
@@ -1092,7 +1105,7 @@ def q_unigram_logprob(spark, sf_dir):
     unigram distribution — the order-0 CCNet/KenLM perplexity filter."""
     from kafka_connect_gcs_spark.operators.curation import unigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     out = unigram_logprob(d)
     return out.select(
         "doc_id", F.col("n_words").cast("long").alias("n_words"), "avg_logprob"
@@ -1285,7 +1298,7 @@ def q_bpe_encode(spark, sf_dir):
         bpe_vocab,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     merges = bpe_train(d, num_merges=8, min_pair_count=2)
     vocab = bpe_vocab(d, merges)
     out = bpe_encode(d, merges, vocab, impl="expr")
@@ -1329,7 +1342,7 @@ def q_line_dedup_boilerplate(spark, sf_dir):
     byte-for-byte (injection → line explode → dup table → rebuild)."""
     from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     did, t = F.col("doc_id"), F.col("text")
     inj = d.select(
         "doc_id",
@@ -1408,7 +1421,7 @@ def q_hll_distinct_grams(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.sketches import hll_distinct
     from kafka_connect_gcs_spark.operators.text import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     g = d.select(words(F.col("text")).alias("_ws")).select(
         F.explode(word_ngrams(F.col("_ws"), 3)).alias("gram")
     )
@@ -1442,7 +1455,7 @@ def q_heavy_hitters_cms(spark, sf_dir):
     )
     from kafka_connect_gcs_spark.operators.text import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     w = d.select(F.explode(words(F.col("text"))).alias("word"))
     sk = countmin_sketch(w, "word", depth=4, width=1024, portable=True)
     top = (
@@ -1512,7 +1525,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.text import words
 
     m, k = 1 << 17, 5
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     ws = d.select("doc_id", words(F.col("text")).alias("_ws"))
     bench_grams = (
         ws.where(F.col("doc_id") % 7 == 0)
@@ -1749,7 +1762,7 @@ def q_content_chunks(spark, sf_dir):
         content_defined_chunks,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return content_defined_chunks(d, portable=True).select(
         "doc_id", "chunk_id", "start_word", "n_words", "chunk_hash"
     )
@@ -1768,7 +1781,7 @@ def q_chunk_dedup_cdc(spark, sf_dir):
         content_defined_chunks,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     fv = (F.col("doc_id") % 2).cast("string")
     footer = F.concat_ws(
         " ",
@@ -1807,7 +1820,7 @@ def q_html_extract(spark, sf_dir):
     (imported from the operator) under DuckDB's RE2."""
     from kafka_connect_gcs_spark.operators.html import parse_html
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
@@ -2037,7 +2050,7 @@ def q_anchor_text_agg(spark, sf_dir):
     rules, and the aggregate."""
     from kafka_connect_gcs_spark.operators.html import anchor_text_agg
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     html = F.concat(

@@ -228,14 +228,24 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     base = df.select(
         F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
-    ).withColumn("_n", F.size("_toks").cast("long"))
-    base = base.where(F.col("_n") > 0)
-    # global offsets on the NARROW projection; tokens re-attach by id after
-    starts = exclusive_prefix_sum(
-        base.select("_id", "_n"), "_id", "_n", out_col="_s",
-        num_partitions=num_partitions,
     )
-    placed = base.join(starts.select("_id", "_s"), "_id")
+    # global offsets on the NARROW projection, MATERIALIZED once: the
+    # prefix sum drives 3-4 small jobs (key span, bucket totals, the
+    # window, the re-attach join) and each would otherwise re-run the
+    # caller's token projection — often the most expensive map in the
+    # plan (measured 4× the narrow data's cost for md5-derived tokens).
+    # The checkpointed relation is (id, n): two longs per document.
+    narrow = (
+        base.select("_id", F.size("_toks").cast("long").alias("_n"))
+        .where(F.col("_n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    starts = exclusive_prefix_sum(
+        narrow, "_id", "_n", out_col="_s", num_partitions=num_partitions,
+    )
+    # inner join implies the _n > 0 filter, so the token payload is
+    # evaluated exactly once, on this side
+    placed = base.join(starts.select("_id", "_n", "_s"), "_id")
     # every chunk this doc overlaps: floor(s/L) .. floor((s+n-1)/L)
     c = F.explode(
         F.sequence(
