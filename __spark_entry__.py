@@ -1156,7 +1156,11 @@ def q_dup_spans(spark, sf_dir):
         F.concat(F.lit(_DUP_BANNER + " "), F.col("text")).alias("text"),
     )
     u = d.select("doc_id", "text").unionByName(stamped)
-    out = dup_span_stats(u, k=8, portable=True)
+    # eager=False: this is the one-shot analytics path — the service-mode
+    # default's broadcast-gate count + checkpoint materialization are
+    # fixed costs a single-action caller shouldn't pay (r5 bench showed
+    # them 4.8× on this query); the lazy plan computes identical rows
+    out = dup_span_stats(u, k=8, portable=True, eager=False)
     return out.withColumn("n_words", F.col("n_words").cast("long"))
 
 
@@ -2102,7 +2106,19 @@ def q_table_changes(spark, sf_dir):
         F.lit(1).cast("int").alias("n_tok"),
         F.col("event_type").alias("source"),
     )
-    root = tempfile.mkdtemp(prefix="icebox-changes-q-")
+    # deterministic per-sf_dir path, wiped before rebuild: repeated
+    # correctness/bench invocations reuse ONE directory instead of
+    # leaking a full table copy per call (the q_dedup_incremental
+    # convention); the table files must outlive this function for the
+    # returned lazy changelog read, so an in-call rmtree cannot work
+    import hashlib
+    import shutil
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "sgtc-" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
     table = IceboxTable.create(spark, root, CDC_TABLE_FIELDS)
     merge_into(table, feed.where(F.col("offset") % 4 < 2), "b0")
     v1 = table.current_version()

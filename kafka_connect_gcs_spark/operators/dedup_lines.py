@@ -27,12 +27,14 @@ shards. This module is that pass over a ``(doc_id, text)`` table:
 Scale shape (the 100 TB question): the duplicate-line table is the only
 corpus-scale aggregate, and it aggregates line STRINGS with map-side
 partial counts — the same floor C4's own implementation pays. Document
-rebuilds are then confined to AFFECTED docs only: untouched documents
-pass through a ``LEFT ANTI`` join on the narrow affected-id relation,
-byte-exact, never re-split and never re-concatenated (plan-asserted in
-tests/test_dedup_lines.py). The rebuild shuffle therefore scales with the
-volume of text in affected docs, not the corpus. Docs whose every line is
-dropped survive as empty strings (the doc row is never lost).
+rebuilds are then confined to AFFECTED docs only: ONE conditional left
+join against the narrow per-doc position sets rebuilds affected docs and
+passes untouched documents through byte-exact (the CASE branch never
+re-splits them; plan- and byte-asserted in tests/test_dedup_lines.py) —
+a single scan of the document relation. The rebuild shuffle therefore
+scales with the volume of text in affected docs, not the corpus. Docs
+whose every line is dropped survive as empty strings (the doc row is
+never lost).
 
 No reference analog (eeveebank/kafka-connect-gcs moves opaque byte
 records); part of the training-data-curation surface the engine adds, a
@@ -109,8 +111,9 @@ def dedup_lines(
     rewrite pays beyond the duplicate-table aggregate. Affected documents
     are rebuilt by a pure map-only projection (re-split, index-filter via
     the position set, re-join — no second explode, no per-doc collect of
-    line text). Everything else passes through a LEFT ANTI join against
-    the narrow affected-id relation — original bytes, no rewrite cost.
+    line text); untouched documents keep their original bytes through the
+    same single conditional left join — one scan, no separate
+    passthrough branch.
     An earlier shape checkpointed the raw ``(id, pos)`` occurrence rows
     and re-exploded affected docs into a sorted per-doc collect; in the
     dense worst case (every line duplicated) that materialized and then
@@ -133,6 +136,14 @@ def dedup_lines(
 
     ln = _lines(df, text_col, id_col)
     nonblank = ln.where(~_is_blank(F.col("line")))
+    if eager:
+        from pyspark import StorageLevel
+
+        # the split+explode (and whatever upstream projection produced
+        # text_col) otherwise re-runs for BOTH consumers below (the
+        # duplicate-table aggregate and the mark join) — measured ~1.3 s
+        # per pass on the dense worst case at sf1.0
+        nonblank = nonblank.persist(StorageLevel.MEMORY_AND_DISK)
 
     if policy == "drop_all":
         dup = (
@@ -185,10 +196,17 @@ def dedup_lines(
     if eager:
         off_by_doc = off_by_doc.localCheckpoint(eager=True)
         mark_keys.unpersist()
+        nonblank.unpersist()
 
-    # rebuild ONLY affected docs, map-only: re-split once inside a
-    # projection, keep lines whose index is not in the drop set, re-join.
-    # A doc whose every line was offending keeps its row as ""
+    # ONE pass over the corpus: LEFT join the narrow per-doc position
+    # sets and rebuild CONDITIONALLY — untouched docs (null _dp) keep
+    # their original bytes (the CASE branch never evaluates the re-split
+    # for them), affected docs re-split once inside a projection, keep
+    # lines whose index is not in the drop set, re-join. A doc whose
+    # every line was offending keeps its row as "". An earlier shape ran
+    # a rebuild join PLUS a LEFT ANTI passthrough — two full scans of the
+    # document relation (and of whatever projection feeds it) where this
+    # needs one.
     parts = F.split(F.col(text_col), "\n", -1)
     indexed = F.zip_with(
         parts,
@@ -198,19 +216,15 @@ def dedup_lines(
     kept = F.filter(
         indexed, lambda s: ~F.array_contains(F.col("_dp"), s["i"])
     )
-    rebuilt = (
+    return (
         df.select(id_col, text_col)
-        .join(off_by_doc, id_col)
+        .join(off_by_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.concat_ws(
-                "\n", F.transform(kept, lambda s: s["l"])
-            ).alias(text_col),
+            F.when(F.col("_dp").isNull(), F.col(text_col))
+            .otherwise(
+                F.concat_ws("\n", F.transform(kept, lambda s: s["l"]))
+            )
+            .alias(text_col),
         )
     )
-
-    # untouched docs pass through byte-exact — never re-split/re-joined
-    untouched = df.select(id_col, text_col).join(
-        off_by_doc.select(id_col), id_col, "left_anti"
-    )
-    return untouched.unionByName(rebuilt)

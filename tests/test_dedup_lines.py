@@ -93,9 +93,14 @@ def test_invalid_args(corpus):
         dedup_lines(corpus, min_docs=0)
 
 
-def test_untouched_docs_pass_through_left_anti(corpus):
+def test_untouched_docs_pass_through_single_scan(corpus):
+    """Untouched docs ride ONE conditional left join (null position set →
+    original bytes), not a separate LEFT ANTI passthrough branch — the
+    union-of-two-scans shape read the document relation twice."""
     plan = dedup_lines(corpus)._jdf.queryExecution().toString()
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert "LeftOuter" in plan
+    assert "Union" not in plan
     # the passthrough branch must not re-split text: byte-exact equality
     # for a doc with trailing whitespace oddities no rebuild would keep
     weird = _docs(corpus.sparkSession, [(1, "a \n b \n"), (2, "zz")])

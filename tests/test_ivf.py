@@ -74,6 +74,26 @@ def test_ivf_prepartitioned_store_matches_and_prunes(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "centroid" in plan
 
 
+def test_exact_assignment_identical_to_expr(spark, emb):
+    """assign_centroid_pandas_exact must reproduce the literal-HOF
+    expression's assignment BIT-identically (same fold order, same half
+    norms, same tie-break) — it is the default execution of the "expr"
+    semantics, so any divergence is a correctness bug, not a near-tie."""
+    from kafka_connect_gcs_spark.operators.similarity import (
+        assign_centroid_expr,
+        assign_centroid_pandas_exact,
+    )
+
+    _, cents = ivf_assign(emb, num_centroids=8, iterations=2)
+    via_expr = emb.withColumn(
+        "centroid", assign_centroid_expr(cents, F.col("embedding"))
+    )
+    via_exact = assign_centroid_pandas_exact(emb, cents)
+    a_expr = {r.vec_id: r.centroid for r in via_expr.collect()}
+    a_np = {r.vec_id: r.centroid for r in via_exact.collect()}
+    assert a_expr == a_np
+
+
 def test_pandas_assignment_agrees_with_expr(spark, emb):
     """assign_centroid_pandas (numpy matmul) must bucket the corpus the
     same way as the literal-HOF expression — the two paths share the

@@ -164,6 +164,41 @@ def test_pandas_simhash_bit_identical_to_expression(spark, docs):
     assert f == e
 
 
+def test_hybrid_simhash_bit_identical_to_expression(spark, docs):
+    """The hybrid path (JVM word hashes + numpy bit-majority) must emit
+    the EXACT signature of the Catalyst fold for BOTH hash variants —
+    including the production xxhash64 one the all-python path can't
+    reproduce — plus the null/empty edge semantics."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        simhash_signatures_hybrid,
+    )
+
+    sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    edge = spark.createDataFrame(
+        [
+            (1001, "  Mixed   CASE\twords\nhere  "),
+            (1002, ""),
+            (1003, "   "),
+            (1004, "one"),
+            (1005, None),
+        ],
+        "doc_id long, text string",
+    )
+    both = sample.unionByName(edge)
+    for portable in (False, True):
+        expr = {
+            r.doc_id: r.sh
+            for r in both.select(
+                "doc_id", simhash64(F.col("text"), portable=portable).alias("sh")
+            ).collect()
+        }
+        fast = {
+            r.doc_id: r.sh
+            for r in simhash_signatures_hybrid(both, portable=portable).collect()
+        }
+        assert fast == expr, f"portable={portable}"
+
+
 def test_simhash_pairs_pandas_impl_same_pairs(spark, docs):
     sample = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
     base = {
