@@ -856,17 +856,15 @@ def q_dsir_select(spark, sf_dir):
     top-200 by Gumbel-top-k (seed 7) — sampling without replacement with
     probability ∝ w. The oracle replays fit, weighting, noise, and the
     draw (portable md5 buckets, deterministic per-doc Gumbel hash)."""
-    from kafka_connect_gcs_spark.operators.dsir import (
-        dsir_fit,
-        dsir_resample,
-        dsir_weights,
-    )
+    from kafka_connect_gcs_spark.operators.dsir import dsir_select
 
     d = _t(spark, sf_dir, "documents")
     target = d.where(F.col("lang") == "de")
-    ratios, model = dsir_fit(target, d, n_buckets=1 << 18, portable=True)
-    w = dsir_weights(d, ratios, model)
-    return dsir_resample(w, k=200, seed=7)
+    # composed fit→weight→draw: featurizes the corpus once (the separate
+    # fit/weights calls paid the hashed-gram explode twice); identical
+    # expressions, oracle-identical rows
+    return dsir_select(target, d, k=200, seed=7, n_buckets=1 << 18,
+                       portable=True)
 
 
 def q_corpus_split(spark, sf_dir):

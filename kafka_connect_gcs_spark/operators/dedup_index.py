@@ -188,12 +188,19 @@ def minhash_index_append(
     With ``batch_id`` the append is REPLAY-SAFE (the curation loop's
     exactly-once protocol, mirroring the table's committed-batch guard):
 
-    1. an intent marker ``batches/{batch_id}.json`` listing the batch's doc
-       ids is written (atomic rename) BEFORE any index rows — from that
-       point :func:`dedup_against_index` called with the same
-       ``exclude_batch_id`` can reconstruct the pre-append probe state at
-       any crash point;
-    2. the sig/bucket rows are appended;
+    1. an intent marker ``batches/{batch_id}.json`` (a flag file, no
+       data) is written (atomic rename) BEFORE any index rows — from
+       that point :func:`dedup_against_index` called with the same
+       ``exclude_batch_id`` can reconstruct the pre-append probe state
+       at any crash point: every appended sig/bucket row is STAMPED with
+       its ``batch_id`` column, so exclusion is a pure column predicate
+       on the index scan. (An earlier protocol listed every batch doc id
+       in the marker and anti-joined the list — a driver-side O(batch)
+       id collect and a JSON of millions of strings at production batch
+       sizes; the stamp keeps the whole path distributed AND excludes
+       only THIS batch's crash-orphaned rows, where the id list also
+       dropped legitimately re-delivered ids from earlier batches.)
+    2. the sig/bucket rows are appended (each carrying ``batch_id``);
     3. the marker is rewritten with ``done`` — a replay seeing ``done``
        skips the append entirely. A crash between 2 and 3 replays the row
        append, which can leave duplicate (doc_id, sig) rows — benign:
@@ -207,8 +214,7 @@ def minhash_index_append(
         marker = _read_batch_marker(path, batch_id)
         if marker is not None and marker.get("done"):
             return read_index_params(path)
-        ids = [r[0] for r in df.select(id_col).collect()]
-        _write_batch_marker(path, batch_id, {"doc_ids": ids, "done": False})
+        _write_batch_marker(path, batch_id, {"done": False})
     if not os.path.exists(_params_path(path)):
         if params is None:
             raise FileNotFoundError(
@@ -220,9 +226,11 @@ def minhash_index_append(
             json.dump(params, f)
         os.replace(tmp, _params_path(path))
     stored = read_index_params(path)
-    _write_index_rows(df, path, stored, id_col, text_col, mode="append")
+    _write_index_rows(
+        df, path, stored, id_col, text_col, mode="append", batch_id=batch_id
+    )
     if batch_id is not None:
-        _write_batch_marker(path, batch_id, {"doc_ids": ids, "done": True})
+        _write_batch_marker(path, batch_id, {"done": True})
     return stored
 
 
@@ -266,8 +274,16 @@ def _bucket_part(bucket_parts: int):
     return F.pmod(F.xxhash64(F.col("bucket")), F.lit(bucket_parts))
 
 
-def _write_buckets(banded, path, bucket_parts: int, mode: str) -> None:
-    buckets = banded.select("doc_id", "band", "bucket")
+def _batch_stamp(batch_id: "str | None"):
+    """The replay-exclusion stamp: NULL for full builds, the batch id for
+    appends — exclusion is then a column predicate, never a driver list."""
+    return F.lit(batch_id).cast("string").alias("batch_id")
+
+
+def _write_buckets(
+    banded, path, bucket_parts: int, mode: str, batch_id: "str | None" = None
+) -> None:
+    buckets = banded.select("doc_id", "band", "bucket", _batch_stamp(batch_id))
     writer = buckets.write.mode(mode)
     if bucket_parts:
         writer = buckets.withColumn(
@@ -276,7 +292,9 @@ def _write_buckets(banded, path, bucket_parts: int, mode: str) -> None:
     writer.parquet(os.path.join(path, "buckets"))
 
 
-def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
+def _write_index_rows(
+    df, path, params, id_col, text_col, mode: str, batch_id: "str | None" = None
+) -> None:
     bucket_parts = params.get("bucket_parts", 0)
     sig_params = {k: v for k, v in params.items() if k != "bucket_parts"}
     band_params = {
@@ -295,11 +313,13 @@ def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
         # phase: cache materialization ~3.2× at 4 cores vs compute's
         # 3.6-4.5×) is gone entirely.
         sig_only = {k: v for k, v in sig_params.items() if k != "bands"}
-        doc_signatures(df, id_col=id_col, text_col=text_col, **sig_only).write.mode(
-            mode
-        ).parquet(sigs_dir)
+        doc_signatures(
+            df, id_col=id_col, text_col=text_col, **sig_only
+        ).select("*", _batch_stamp(None)).write.mode(mode).parquet(sigs_dir)
         spark = df.sparkSession
-        banded = explode_bands(spark.read.parquet(sigs_dir), **band_params)
+        banded = explode_bands(
+            spark.read.parquet(sigs_dir).drop("batch_id"), **band_params
+        )
         _write_buckets(banded, path, bucket_parts, mode)
         return
     # Append (incremental micro-batch): re-reading sigs/ would return the
@@ -311,10 +331,10 @@ def _write_index_rows(df, path, params, id_col, text_col, mode: str) -> None:
         df, id_col=id_col, text_col=text_col, **sig_params
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # sigs stored once per doc (band rows all carry the same sig)
-    banded.where(F.col("band") == 0).select("doc_id", "sig").write.mode(
-        mode
-    ).parquet(sigs_dir)
-    _write_buckets(banded, path, bucket_parts, mode)
+    banded.where(F.col("band") == 0).select(
+        "doc_id", "sig", _batch_stamp(batch_id)
+    ).write.mode(mode).parquet(sigs_dir)
+    _write_buckets(banded, path, bucket_parts, mode, batch_id=batch_id)
     banded.unpersist()
 
 
@@ -375,11 +395,14 @@ def dedup_against_index(
 
     ``exclude_batch_id`` is the replay half of the index append protocol
     (:func:`minhash_index_append` with ``batch_id``): if that batch's
-    intent marker exists, its doc ids are anti-joined off BOTH index
-    relations first, so a replayed micro-batch probes exactly the state
-    the original attempt saw — without it, two near-duplicate docs in one
-    batch would drop EACH OTHER on replay (each matching the other's
-    crash-orphaned index rows) and both would be lost."""
+    intent marker exists, rows STAMPED with that batch_id are filtered
+    off BOTH index relations (a pure column predicate on the scans — no
+    driver-side id list at any batch size), so a replayed micro-batch
+    probes exactly the state the original attempt saw — without it, two
+    near-duplicate docs in one batch would drop EACH OTHER on replay
+    (each matching the other's crash-orphaned index rows) and both
+    would be lost. Legacy indexes whose markers carry the old
+    ``doc_ids`` list (pre-stamp layout) keep the anti-join fallback."""
     spark = new_docs.sparkSession
     if missing_ok and not os.path.exists(_params_path(path)):
         return _empty_dedup_result(new_docs, id_col)
@@ -411,15 +434,28 @@ def dedup_against_index(
     idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
     if exclude_batch_id is not None:
         marker = _read_batch_marker(path, exclude_batch_id)
-        if marker is not None and marker["doc_ids"]:
-            excl = F.broadcast(
-                spark.createDataFrame(
-                    [(i,) for i in marker["doc_ids"]],
-                    f"doc_id {new_docs.schema[id_col].dataType.simpleString()}",
+        if marker is not None:
+            if "batch_id" in idx_buckets.columns:
+                # pure column predicate on the stamped rows — no driver
+                # data path, and only THIS batch's crash-orphaned rows
+                # are excluded (earlier rows for re-delivered ids keep
+                # probing, exactly the pre-append state)
+                not_this = F.col("batch_id").isNull() | (
+                    F.col("batch_id") != exclude_batch_id
                 )
-            )
-            idx_buckets = idx_buckets.join(excl, "doc_id", "left_anti")
-            idx_sigs = idx_sigs.join(excl, "doc_id", "left_anti")
+                idx_buckets = idx_buckets.where(not_this)
+                idx_sigs = idx_sigs.where(not_this)
+            elif marker.get("doc_ids"):
+                # legacy marker from the id-list protocol (pre-stamp
+                # index layout): fall back to the anti-join it encoded
+                excl = F.broadcast(
+                    spark.createDataFrame(
+                        [(i,) for i in marker["doc_ids"]],
+                        f"doc_id {new_docs.schema[id_col].dataType.simpleString()}",
+                    )
+                )
+                idx_buckets = idx_buckets.join(excl, "doc_id", "left_anti")
+                idx_sigs = idx_sigs.join(excl, "doc_id", "left_anti")
     if bucket_parts:
         touched = [r["_p"] for r in stats]
         idx_buckets = idx_buckets.where(F.col("bucket_part").isin(touched))

@@ -179,6 +179,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for the undirected graph given as edge pairs, where
     ``component`` is the smallest node id reachable — hash-to-min label
@@ -218,6 +219,49 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Size-gated driver union-find: near-dup edge sets are usually
+    # metadata-scale (qualifying pairs, not the corpus), and each
+    # distributed round below costs a fixed 2-join + checkpoint job —
+    # several seconds of pure dispatch to close 20 edges. Gate on the
+    # REAL count over the already-persisted edges (the same
+    # counted-not-guessed pattern as the broadcast gates); the result is
+    # identical by definition (component = min reachable id). The
+    # distributed fixpoint remains the path for edge sets above the gate.
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r0 in rows:
+            s, d = r0[0], r0[1]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for nd in parent:
+            r = find(nd)
+            m = comp_min.get(r)
+            if m is None or nd < m:
+                comp_min[r] = nd
+        out_rows = [(nd, comp_min[find(nd)]) for nd in parent]
+        node_type = edges.schema["src"].dataType.simpleString()
+        result = pairs.sparkSession.createDataFrame(
+            out_rows, f"node {node_type}, component {node_type}"
+        )
+        edges.unpersist()
+        return result
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -197,6 +197,109 @@ def dsir_weights(
     )
 
 
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    k: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    use_bigrams: bool = True,
+    smoothing: float = 1.0,
+    portable: bool = False,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Composed fit → weight → Gumbel-top-k selection over one corpus,
+    featurizing the raw corpus ONCE.
+
+    Row-identical to ``dsir_fit`` + ``dsir_weights`` + ``dsir_resample``
+    (same expressions over the same gram relation), but the raw corpus's
+    hashed-gram explode — the dominant map cost, paid twice by the
+    separate calls (once for the raw counts, once for the per-doc
+    weights) — is persisted and shared between the two consumers. The
+    bounded top-k result is materialized eagerly so the gram cache is
+    released before returning.
+    """
+    from pyspark import StorageLevel
+
+    a = float(smoothing)
+    b_sp = float(n_buckets)
+    grams = (
+        spread_small_input(raw)
+        .select(
+            F.col(id_col),
+            F.explode(
+                hashed_features(
+                    F.col(text_col),
+                    n_buckets=n_buckets,
+                    use_bigrams=use_bigrams,
+                    portable=portable,
+                    distinct=False,
+                )
+            ).alias("bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = _gram_counts(target, text_col, n_buckets, use_bigrams, portable)
+    r = grams.groupBy("bucket").agg(F.count("*").cast("double").alias("c"))
+    totals = (
+        t.agg(F.sum("c").alias("t_total"))
+        .crossJoin(r.agg(F.sum("c")).toDF("r_total"))
+        .select(
+            F.coalesce("t_total", F.lit(0.0)).alias("t_total"),
+            F.coalesce("r_total", F.lit(0.0)).alias("r_total"),
+        )
+    )
+    joined = (
+        t.withColumnsRenamed({"c": "t_c"})
+        .join(r.withColumnsRenamed({"c": "r_c"}), "bucket", "full_outer")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratios = joined.select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce("t_c", F.lit(0.0)) + a)
+                / (F.col("t_total") + a * b_sp)
+            )
+            - F.log(
+                (F.coalesce("r_c", F.lit(0.0)) + a)
+                / (F.col("r_total") + a * b_sp)
+            )
+        ).alias("log_ratio"),
+    )
+    default_ratio = totals.select(
+        (
+            F.log(F.lit(a) / (F.col("t_total") + a * b_sp))
+            - F.log(F.lit(a) / (F.col("r_total") + a * b_sp))
+        ).alias("default_ratio")
+    )
+    summed = (
+        grams.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(default_ratio))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("log_ratio", "default_ratio")).alias("_s"),
+        )
+    )
+    w = (
+        raw.select(id_col)
+        .join(summed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("log_w"),
+        )
+    )
+    out = dsir_resample(
+        w, k, seed=seed, temperature=temperature, id_col=id_col
+    ).localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
+
+
 def gumbel_noise(id_col, seed: int = 0):
     """Deterministic standard-Gumbel draw per id: ``−ln(−ln(u))`` with
     ``u = (h + 0.5) / 2^60`` from the portable md5-derived 60-bit hash of

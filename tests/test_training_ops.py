@@ -551,12 +551,48 @@ def test_connected_components_log_rounds_on_chain(spark):
 
     bus.waitUntilEmpty()
     e0 = max_execution_id()
-    result = connected_components(pairs, max_iterations=8)
+    # max_local_edges=0 forces the DISTRIBUTED fixpoint (the default
+    # size gate would solve 49 edges driver-side) — this test pins the
+    # log-rounds property of the scale path
+    result = connected_components(pairs, max_iterations=8, max_local_edges=0)
     bus.waitUntilEmpty()
     executions = max_execution_id() - e0
     cc = {r.node: r.component for r in result.collect()}
     assert cc == {i: 0 for i in range(50)}
-    assert 0 < executions <= 8, f"expected ≤8 one-action rounds, saw {executions}"
+    # one count action for the gate + ≤8 one-action rounds
+    assert 0 < executions <= 9, f"expected ≤9 one-action rounds, saw {executions}"
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The size-gated driver union-find must label exactly like the
+    distributed fixpoint: component = smallest reachable id, every node
+    present — checked on a graph mixing a chain, a ring, singleton-free
+    pairs and string ids."""
+    from kafka_connect_gcs_spark.operators.dedup_text import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10)]
+        + [(20, 21), (21, 22), (22, 20)]
+        + [(30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, max_local_edges=0).collect()
+    }
+    assert local == dist
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    slocal = {
+        r.node: r.component for r in connected_components(spairs).collect()
+    }
+    assert slocal == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_pair_ops_eager_release_no_leaked_cache(spark, docs):
