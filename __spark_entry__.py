@@ -1618,8 +1618,14 @@ def q_kmeans_clusters(spark, sf_dir):
     from kafka_connect_gcs_spark.operators.clustering import kmeans
 
     e = _t(spark, sf_dir, "embeddings")
+    # method="fused": the fit's per-iteration sufficient statistics run as
+    # one numpy mapInPandas pass (bit-exact assignment twin; means still
+    # rounded to 9) instead of the k·dim-column aggregate whose codegen
+    # dominated the query; the FINAL labeled assignment below stays the
+    # expression form, so rows are identical (oracle-gated)
     labeled, _cents = kmeans(
-        e, k=4, max_iter=2, seed=13, portable=True, dist_col="_sq"
+        e, k=4, max_iter=2, seed=13, portable=True, dist_col="_sq",
+        method="fused",
     )
     return labeled.select(
         "vec_id",

@@ -89,6 +89,11 @@ def kmeans_seeds(
 
 
 def _assign(df, centroids, vec_col: str, out_col: str, method: str):
+    """``method``: "expr" (the literal-HOF expression), "pandas" (BLAS
+    argmax — fast, not bit-pinned to the expression fold), or "fused"
+    (only meaningful inside :func:`kmeans_fit`; assignments outside the
+    fit fall back to the expression form, so labeled output stays
+    bit-identical to the all-expr plan)."""
     if method == "pandas":
         return assign_centroid_pandas(
             df, centroids, vec_col=vec_col, out_col=out_col
@@ -96,6 +101,81 @@ def _assign(df, centroids, vec_col: str, out_col: str, method: str):
     return df.withColumn(
         out_col, assign_centroid_expr(centroids, F.col(vec_col))
     )
+
+
+def _iteration_stats_fused(pts, centroids, dim: int):
+    """One Lloyd iteration's sufficient statistics ``{cid: (n, sumvec)}``
+    computed by a single fused mapInPandas pass: the bit-exact numpy
+    assignment (:func:`assign_centroid_pandas_exact`'s index-order score
+    fold) plus per-cluster member counts and per-dimension running sums,
+    emitted as one ≤ k-row partial per task. Replaces the k·dim-column
+    aggregate, whose codegen alone (65 aggregate expressions at dim=64)
+    dominated the iteration at bench scale (measured 1.4-2.9 s vs
+    ~0.25 s for this pass on 20k×64); the means consumer rounds to 9
+    decimals, which absorbs the partial-sum association difference
+    exactly as it does between Spark's own partial aggregate and the
+    DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cids = np.asarray([int(c) for c, _ in centroids])
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    vecs = [centroids[i][1] for i in order]
+    CT = np.ascontiguousarray(np.asarray(vecs, dtype="float64").T)
+    # EXACT same half-norm fold as _centroid_literals (python float sum)
+    half = np.asarray([sum(x * x for x in v) / 2.0 for v in vecs])
+    schema = StructType(
+        [
+            StructField("_cid", IntegerType()),
+            StructField("_n", LongType()),
+            StructField("_s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        acc_n = np.zeros(len(cids), dtype="int64")
+        acc_s = np.zeros((len(cids), dim), dtype="float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            # index-order accumulation — the Catalyst zip_with fold twin
+            scores = np.zeros((len(pdf), len(cids)), dtype="float64")
+            for d in range(CT.shape[0]):
+                scores += np.multiply.outer(V[:, d], CT[d])
+            scores -= half
+            a = scores.argmax(axis=1)
+            for ci in range(len(cids)):
+                m = a == ci
+                if m.any():
+                    acc_n[ci] += int(m.sum())
+                    acc_s[ci] += V[m].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "_cid": cids.astype("int32"),
+                "_n": acc_n,
+                "_s": [list(r) for r in acc_s],
+            }
+        )
+
+    rows = pts.mapInPandas(partials, schema=schema).collect()
+    import numpy as np  # noqa: F811 — keep local for clarity
+
+    agg: dict = {}
+    for r in rows:
+        n0, s0 = agg.get(r["_cid"], (0, np.zeros(dim)))
+        agg[r["_cid"]] = (n0 + r["_n"], s0 + np.asarray(r["_s"]))
+    return agg
 
 
 def kmeans_fit(
@@ -137,6 +217,20 @@ def kmeans_fit(
     )
     try:
         for _ in range(max_iter):
+            if method == "fused":
+                agg = _iteration_stats_fused(pts, centroids, dim)
+                nxt = []
+                for cid, old in centroids:
+                    hit = agg.get(cid)
+                    if hit is None or hit[0] == 0:
+                        nxt.append((cid, old))
+                    else:
+                        n, s = hit
+                        nxt.append(
+                            (cid, [round(float(x) / n, 9) for x in s])
+                        )
+                centroids = nxt
+                continue
             assigned = _assign(pts, centroids, "_v", "_cid", method)
             stats = (
                 assigned.groupBy("_cid")

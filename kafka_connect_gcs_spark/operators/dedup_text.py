@@ -120,6 +120,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     candidates: "DataFrame | None" = None,
     max_all_pairs_docs: int = 100_000,
+    verify: str = "pandas",
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold over document pairs.
 
@@ -160,6 +161,48 @@ def ngram_jaccard_pairs(
                 sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
                 "id_b",
             )
+        )
+    if candidates is not None and verify == "pandas":
+        # vectorized verify: the interpreted array_intersect/array_union
+        # pair (an O(|a|·|b|)-ish interpreted walk per candidate) is the
+        # dominant cost when the blocking scheme emits many candidates
+        # (tiny-vocabulary corpora make every prefix token hot). Python
+        # set ops compute the identical |∩|/|∪| integers — array_union /
+        # array_intersect are set-semantic — and the score is the same
+        # IEEE double division, rounded by the HALF_UP twin of F.round.
+        from kafka_connect_gcs_spark.operators.similarity import _round6
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                sa = pdf["sh_a"]
+                sb = pdf["sh_b"]
+                jac = np.empty(len(pdf), dtype="float64")
+                for i in range(len(pdf)):
+                    a = set(sa.iat[i])
+                    b = set(sb.iat[i])
+                    uni = len(a | b)
+                    jac[i] = len(a & b) / uni if uni > 0 else 0.0
+                jac = _round6(jac)
+                keep = jac >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": pdf["id_a"].to_numpy()[keep],
+                            "id_b": pdf["id_b"].to_numpy()[keep],
+                            "jaccard": jac[keep],
+                        }
+                    )
+
+        return pairs.select("id_a", "id_b", "sh_a", "sh_b").mapInPandas(
+            score, schema=f"id_a {id_t}, id_b {id_t}, jaccard double"
         )
     return (
         pairs.select(

@@ -235,10 +235,16 @@ def pack_sequences(
     # caller's token projection — often the most expensive map in the
     # plan (measured 4× the narrow data's cost for md5-derived tokens).
     # The checkpointed relation is (id, n): two longs per document.
+    # NOTE the filter comes AFTER the checkpoint: `where(_n > 0)` on the
+    # lazy projection gets pushed below it as `size(tokens) > 0`, and the
+    # pushed predicate + the projection then evaluate the caller's token
+    # expression TWICE (filter/project codegen does not share it) —
+    # measured 2.4 s vs 0.5 s at sf1.0 for md5-derived tokens. Filtering
+    # the materialized (id, n) longs afterwards is free and identical.
     narrow = (
         base.select("_id", F.size("_toks").cast("long").alias("_n"))
-        .where(F.col("_n") > 0)
         .localCheckpoint(eager=True)
+        .where(F.col("_n") > 0)
     )
     starts = exclusive_prefix_sum(
         narrow, "_id", "_n", out_col="_s", num_partitions=num_partitions,

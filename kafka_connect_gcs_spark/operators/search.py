@@ -47,8 +47,13 @@ def doc_term_freqs(
     from kafka_connect_gcs_spark.operators.util import spread_small_input
 
     ws = words(F.col(text_col))
-    # tokenization is the dominant map cost — spread a few-file input
-    exploded = spread_small_input(df).select(
+    # tokenization is the dominant map cost — spread a few-file input,
+    # KEYED by the document id: the (id, word) groupBy then reuses this
+    # one exchange (HashPartitioning(id) satisfies the (id, word)
+    # clustering), and downstream per-document consumers (BM25's dense
+    # scorer, tfidf's per-doc top-k window) inherit id-partitioning and
+    # plan zero further exchanges (guide §2.4)
+    exploded = spread_small_input(df, by=[id_col]).select(
         F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("word")
     )
     return exploded.groupBy(id_col, "word").agg(
@@ -98,7 +103,19 @@ def bm25_topk(
     so no Python transcendental enters the score. Degenerate shapes
     (unbounded query vocabulary) keep the relational plan.
     """
+    from kafka_connect_gcs_spark.operators.util import spread_small_input
+
     ws = words(F.col(text_col))
+    # when doc_term_freqs keyed-spreads a small input, postings (and hence
+    # `hit`) come out hash-partitioned by id — the dense scorer can then
+    # skip its own doc-id repartition (one fewer exchange of the postings)
+    try:
+        _files = docs.inputFiles()
+    except Exception:
+        _files = []
+    _id_partitioned = bool(_files) and len(_files) < (
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     postings = doc_term_freqs(docs, text_col=text_col, id_col=id_col)
 
     # corpus-level constants as a 1-row relation
@@ -148,6 +165,7 @@ def bm25_topk(
             hit, stats, tfn, qterm_rows, idf_rows, vocab, k,
             id_col=id_col, query_id_col=query_id_col,
             qid_type=qterms.schema[query_id_col].dataType.simpleString(),
+            id_partitioned=_id_partitioned,
         )
     else:
         scored = (
@@ -179,6 +197,7 @@ def _bm25_scored_dense(
     id_col: str,
     query_id_col: str,
     qid_type: str = "bigint",
+    id_partitioned: bool = False,
 ) -> DataFrame:
     """(query_id, id, score) for every (query, doc) pair sharing ≥ 1 term,
     pruned to the per-partition top candidates.
@@ -265,9 +284,16 @@ def _bm25_scored_dense(
             )
 
     id_type = hit.schema[id_col].dataType.simpleString()
-    return tfn_rel.repartition(
-        tfn_rel.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).mapInPandas(
+    # the scorer needs every (doc, word) row of a doc in one task; when
+    # the postings already carry doc-id hash partitioning (keyed spread in
+    # doc_term_freqs), the explicit repartition is a redundant second
+    # exchange of the whole hit relation — skip it
+    if not id_partitioned:
+        tfn_rel = tfn_rel.repartition(
+            tfn_rel.sparkSession.sparkContext.defaultParallelism,
+            F.col(id_col),
+        )
+    return tfn_rel.mapInPandas(
         score_part,
         schema=f"{query_id_col} {qid_type}, {id_col} {id_type}, score double",
     )

@@ -74,18 +74,34 @@ def jaccard_prefix_candidates(
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    sh = staged_shingles(spread_small_input(df, is_small), id_col, text_col, n)
+    # spread KEYED BY DOC: the per-doc re-group below then reuses this one
+    # exchange (HashPartitioning(id) satisfies the (id, sz) clustering)
+    # instead of shuffling the full token volume a second time
+    spark = df.sparkSession
+    if is_small is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        is_small = bool(files) and len(files) < spark.sparkContext.defaultParallelism
+    sh = staged_shingles(
+        spread_small_input(df, is_small, by=[id_col]), id_col, text_col, n
+    )
     toks = sh.select(
         F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     )
     # document frequency per token: map-side combined, exchange ∝ vocab
     tf = toks.groupBy("tok").agg(F.count("*").alias("df_cnt"))
-    # attach frequencies (exchange ∝ token volume — the floor for any
-    # frequency-ordered scheme), then rebuild each set in canonical order
-    # by sorting (df_cnt, tok) structs per doc: a per-group sort, NOT a
-    # global rank (no single-partition window anywhere)
+    # attach frequencies, then rebuild each set in canonical order by
+    # sorting (df_cnt, tok) structs per doc: a per-group sort, NOT a
+    # global rank (no single-partition window anywhere). For a small
+    # (already-spread) input the frequency relation is vocabulary-scale —
+    # broadcast it so neither the attach join nor the re-group shuffles
+    # the token volume; at real scale the planner keeps the shuffle join
+    # (shingle vocabulary grows with the corpus, blind broadcast would
+    # not survive 100 TB).
     ordered = (
-        toks.join(tf, "tok")
+        toks.join(F.broadcast(tf) if is_small else tf, "tok")
         .groupBy(id_col, "sz")
         .agg(F.array_sort(F.collect_list(F.struct("df_cnt", "tok"))).alias("ord"))
     )

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_small_input(df: DataFrame, is_small: "bool | None" = None) -> DataFrame:
+def spread_small_input(
+    df: DataFrame,
+    is_small: "bool | None" = None,
+    by: "list | None" = None,
+) -> DataFrame:
     """Round-robin a few-file input across the cluster's cores.
 
     Map-heavy per-document operators (gram hashing, signature computation,
@@ -23,6 +27,13 @@ def spread_small_input(df: DataFrame, is_small: "bool | None" = None) -> DataFra
     already spreads local relations, and anything downstream of an exchange
     is already spread. Callers that know better can force the decision with
     ``is_small``.
+
+    ``by``: optional hash-partition keys (column names) to use instead of
+    round-robin. An operator whose downstream groupBy/window/join is keyed
+    by the same columns then plans ZERO further exchanges for those stages
+    (HashPartitioning(k) satisfies any clustering whose key set contains
+    k) — the guide-§2.4 share-one-exchange move. Only worth it when every
+    hot consumer is keyed by ``by``; round-robin spreads more evenly.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -32,4 +43,10 @@ def spread_small_input(df: DataFrame, is_small: "bool | None" = None) -> DataFra
         except Exception:  # non-file source / unsupported plan
             files = []
         is_small = bool(files) and len(files) < target
-    return df.repartition(target) if is_small else df
+    if not is_small:
+        return df
+    if by:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in by])
+    return df.repartition(target)
