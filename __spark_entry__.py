@@ -594,7 +594,9 @@ def q_ann_topk_quantized(spark, sf_dir):
     bounded two-phase top-k (no full-relation window on query_id)."""
     from kafka_connect_gcs_spark.operators.similarity import topk_per_query
 
-    e = _quantized(_t(spark, sf_dir, "embeddings"))
+    # spread the one-file scan: the interpreted dot/norm folds below are
+    # the whole cost and otherwise run on the scan's 2 tasks (~2× measured)
+    e = _quantized(_ts(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
@@ -2124,9 +2126,17 @@ def q_table_changes(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     table = IceboxTable.create(spark, root, CDC_TABLE_FIELDS)
-    merge_into(table, feed.where(F.col("offset") % 4 < 2), "b0")
+    r0 = merge_into(table, feed.where(F.col("offset") % 4 < 2), "b0")
     v1 = table.current_version()
-    merge_into(table, feed.where(F.col("offset") % 4 >= 2), "b1")
+    # reuse batch-0's range bounds (the keyspace is identical): skips
+    # merge-1's boundary-sampling job; bounds only shape the file layout,
+    # the changelog rows are unchanged (oracle-gated)
+    merge_into(
+        table,
+        feed.where(F.col("offset") % 4 >= 2),
+        "b1",
+        bounds_hint=r0.get("_bounds"),
+    )
     v2 = table.current_version()
     ch = table_changes(table, v1, v2)
     return ch.select("change", "doc_id", "source", "old_offset", "new_offset")
