@@ -1344,7 +1344,9 @@ def q_line_dedup_boilerplate(spark, sf_dir):
     external data), then removed under BOTH policies; the fingerprints are
     md5 of each rewritten doc so the oracle verifies every rebuild
     byte-for-byte (injection → line explode → dup table → rebuild)."""
-    from kafka_connect_gcs_spark.operators.dedup_lines import dedup_lines
+    from kafka_connect_gcs_spark.operators.dedup_lines import (
+        dedup_lines_both,
+    )
 
     d = _ts(spark, sf_dir, "documents")
     did, t = F.col("doc_id"), F.col("text")
@@ -1359,13 +1361,16 @@ def q_line_dedup_boilerplate(spark, sf_dir):
             F.substring(t, 31, 1000000),
         ).alias("text"),
     )
-    drop_all = dedup_lines(inj, policy="drop_all", min_docs=2).select(
-        "doc_id", F.md5("text").alias("fp_drop_all")
+    # both policies share ONE explosion + ONE line aggregate (the two
+    # separate dedup_lines calls each paid the corpus explode and its
+    # frequency table: 2.17× at sf0.1, see OPTIMIZATION_r06.md);
+    # rows identical, oracle unchanged
+    both = dedup_lines_both(inj, min_docs=2)
+    return both.select(
+        "doc_id",
+        F.md5("text_drop_all").alias("fp_drop_all"),
+        F.md5("text_keep_first").alias("fp_keep_first"),
     )
-    keep_first = dedup_lines(inj, policy="keep_first").select(
-        "doc_id", F.md5("text").alias("fp_keep_first")
-    )
-    return drop_all.join(keep_first, "doc_id")
 
 
 def q_shuffle_deterministic(spark, sf_dir):

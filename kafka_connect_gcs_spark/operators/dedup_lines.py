@@ -128,14 +128,16 @@ def dedup_lines(
     re-shuffled corpus-scale line text — measured 2× slower at the
     scaling bench than this grouped form.
 
-    With ``eager=True`` (default) the duplicate-line table is persisted,
-    counted, and BROADCAST into the mark join when it fits
-    ``max_broadcast_rows`` (the real count, not a guess) — the corpus
-    line explosion then never shuffles for the mark; the grouped per-doc
-    position relation (referenced by both the rebuild and the anti join)
-    is checkpointed once and the duplicate-table cache released before
-    returning. ``eager=False`` keeps the whole plan lazy (plan
-    inspection / composition) with the original shuffle joins.
+    With ``eager=True`` (default) the line explosion is persisted across
+    its two consumers (the duplicate-table aggregate and the mark join),
+    the duplicate-line table is persisted, counted, and BROADCAST into
+    the mark join when it fits ``max_broadcast_rows`` (the real count,
+    not a guess — and an EXPLICIT hint: the mark side sits above the
+    cached explosion, where AQE does not re-plan the join from runtime
+    stats), and the grouped per-doc position relation is checkpointed
+    once before both caches are released. ``eager=False`` keeps the
+    whole plan lazy (plan inspection / composition) with the original
+    shuffle joins.
     """
     if policy not in ("drop_all", "keep_first"):
         raise ValueError(f"unknown policy {policy!r}")
@@ -183,6 +185,12 @@ def dedup_lines(
     if eager:
         from pyspark import StorageLevel
 
+        # explicit count-gated broadcast: the mark side sits above the
+        # CACHED explosion, where AQE does not re-plan the join from
+        # runtime stats (measured: the no-hint shape shuffled the whole
+        # explosion by line — 4.8 s vs 2.5 s warm at sf1.0 dense); the
+        # count is one cheap job over the cached explosion and keeps the
+        # decision row-bounded instead of unconditionally broadcasting
         mark_keys = mark_keys.persist(StorageLevel.MEMORY_AND_DISK)
         side = (
             F.broadcast(mark_keys)
@@ -234,5 +242,116 @@ def dedup_lines(
                 F.concat_ws("\n", F.transform(kept, lambda s: s["l"]))
             )
             .alias(text_col),
+        )
+    )
+
+
+def _rebuild_without(text_col: str, dp_col: str) -> "Column":
+    """Conditional rebuild expression: the original bytes when ``dp_col``
+    is NULL or empty (untouched doc — the re-split never evaluates),
+    otherwise the doc re-split once with the 0-based positions in
+    ``dp_col`` removed and re-joined."""
+    parts = F.split(F.col(text_col), "\n", -1)
+    indexed = F.zip_with(
+        parts,
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda line, i: F.struct(line.alias("l"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed, lambda s: ~F.array_contains(F.col(dp_col), s["i"])
+    )
+    return (
+        F.when(
+            F.col(dp_col).isNull() | (F.size(F.col(dp_col)) == 0),
+            F.col(text_col),
+        )
+        .otherwise(F.concat_ws("\n", F.transform(kept, lambda s: s["l"])))
+    )
+
+
+def dedup_lines_both(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eager: bool = True,
+) -> DataFrame:
+    """BOTH policies of :func:`dedup_lines` in one shared pass: returns
+    ``(id_col, <text_col>_drop_all, <text_col>_keep_first)``, one row per
+    input document, where each text column equals the corresponding
+    single-policy rewrite bit-for-bit.
+
+    A caller that needs both policies (audit queries comparing rules,
+    A/B curation runs) would otherwise explode and aggregate the corpus
+    TWICE — the line explosion and the line-frequency table are the only
+    corpus-scale work in this module, and they are policy-independent.
+    This variant explodes once, computes ONE line aggregate carrying
+    everything either policy needs (distinct-doc count for ``drop_all``,
+    total count and globally-first occurrence for ``keep_first``), marks
+    both policies' offending positions in ONE join + ONE per-doc
+    ``collect_set`` pair, and rebuilds both texts in a single conditional
+    projection — halving the exchanges and fixed job count of two
+    separate calls (guide §2.4: share the exchange; measured 3.1 s → per
+    the two-call shape at sf0.1, see OPTIMIZATION_r06.md).
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+
+    ln = _lines(df, text_col, id_col)
+    nonblank = ln.where(~_is_blank(F.col("line")))
+    if eager:
+        from pyspark import StorageLevel
+
+        nonblank = nonblank.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = (
+        nonblank.groupBy("line")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.count(F.lit(1)).alias("_c"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_f"),
+        )
+        # keep only lines relevant to EITHER policy — the mark join's
+        # build side stays duplicate-vocabulary-sized; it is an aggregate
+        # output, so AQE broadcasts it from its RUNTIME bytes (measured:
+        # the count-gated explicit hint of dedup_lines costs one extra
+        # job here, 1.96 s vs 1.28 s at sf0.1 on the boilerplate query,
+        # while AQE picks the same broadcast; oversized mark tables
+        # degrade to a shuffle join instead of a forced broadcast)
+        .where((F.col("_nd") >= min_docs) | (F.col("_c") >= 2))
+    )
+    side = stats
+
+    not_first = ~(
+        (F.col(id_col) == F.col("_f.i")) & (F.col("pos") == F.col("_f.p"))
+    )
+    off_by_doc = (
+        nonblank.join(side, "line")
+        .groupBy(id_col)
+        .agg(
+            # collect_set skips NULLs: a doc offending under only one
+            # policy gets an EMPTY set for the other (rebuild passes the
+            # original bytes through for empty sets)
+            F.collect_set(
+                F.when(F.col("_nd") >= min_docs, F.col("pos"))
+            ).alias("_dpa"),
+            F.collect_set(
+                F.when((F.col("_c") >= 2) & not_first, F.col("pos"))
+            ).alias("_dpk"),
+        )
+    )
+    if eager:
+        off_by_doc = off_by_doc.localCheckpoint(eager=True)
+        nonblank.unpersist()
+
+    return (
+        df.select(id_col, text_col)
+        .join(off_by_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            _rebuild_without(text_col, "_dpa").alias(f"{text_col}_drop_all"),
+            _rebuild_without(text_col, "_dpk").alias(f"{text_col}_keep_first"),
         )
     )

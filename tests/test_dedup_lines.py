@@ -174,3 +174,32 @@ def test_duckdb_rewrite_parity_on_sf_corpus(spark, sf_dir):
     for doc_id, want_drop, want_first in want:
         assert got_drop[doc_id] == want_drop, doc_id
         assert got_first[doc_id] == want_first, doc_id
+
+
+def test_both_policies_shared_pass_matches_single_calls(corpus):
+    """dedup_lines_both must equal the two single-policy rewrites
+    bit-for-bit (it shares one explosion + one line aggregate)."""
+    from kafka_connect_gcs_spark.operators.dedup_lines import (
+        dedup_lines_both,
+    )
+
+    both = {
+        r.doc_id: (r.text_drop_all, r.text_keep_first)
+        for r in dedup_lines_both(corpus, min_docs=2).collect()
+    }
+    drop = _texts(dedup_lines(corpus, policy="drop_all", min_docs=2))
+    keep = _texts(dedup_lines(corpus, policy="keep_first"))
+    assert set(both) == set(drop) == set(keep)
+    for did, (ta, tk) in both.items():
+        assert ta == drop[did], did
+        assert tk == keep[did], did
+
+
+def test_both_policies_lazy_matches_eager(corpus):
+    from kafka_connect_gcs_spark.operators.dedup_lines import (
+        dedup_lines_both,
+    )
+
+    eager = sorted(map(tuple, dedup_lines_both(corpus).collect()))
+    lazy = sorted(map(tuple, dedup_lines_both(corpus, eager=False).collect()))
+    assert eager == lazy
