@@ -103,9 +103,6 @@ def bm25_topk(
     so no Python transcendental enters the score. Degenerate shapes
     (unbounded query vocabulary) keep the relational plan.
     """
-    from kafka_connect_gcs_spark.operators.util import spread_small_input
-
-    ws = words(F.col(text_col))
     # when doc_term_freqs keyed-spreads a small input, postings (and hence
     # `hit`) come out hash-partitioned by id — the dense scorer can then
     # skip its own doc-id repartition (one fewer exchange of the postings)
@@ -118,24 +115,44 @@ def bm25_topk(
     )
     postings = doc_term_freqs(docs, text_col=text_col, id_col=id_col)
 
-    # corpus-level constants as a 1-row relation
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(ws)).alias("avgdl"),
-    )
-
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("word"),
     )
     qwords = qterms.select("word").distinct()
 
-    # postings restricted to the query vocabulary — reused for both the
-    # df aggregate and the scoring pass, so keep the narrow rows around
-    # for the two passes (released below under eager=True)
-    hit = postings.join(F.broadcast(qwords), "word").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # corpus constants derived from ONE tokenize pass. The r6-before
+    # shape re-tokenized the corpus THREE times — the postings build,
+    # a `docs.agg(count, avg(size(words)))` stats relation collected for
+    # idf, and that same stats relation cross-joined AGAIN under the
+    # scorer (measured 3 × ~2 s of the 6.5 s warm query at sf1.0). Now
+    # the postings are cached once; avgdl comes out of them exactly
+    # (Σ per-doc dl is an exact integer sum, docs with zero words
+    # contribute 0 exactly as they did to avg(size); the denominator is
+    # the count of non-null texts, a scan that never tokenizes), and
+    # idf/tfn take the constants as LITERALS — bit-identical doubles,
+    # one corpus pass.
+    if eager:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    dl_row = (
+        postings.groupBy(id_col)
+        .agg(F.max("dl").alias("_dl"))
+        .agg(F.sum("_dl").alias("s"))
+        .collect()[0]
     )
+    cnt_row = docs.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(text_col).alias("n_text"),
+    ).collect()[0]
+    n_docs = float(cnt_row["n_all"])
+    if cnt_row["n_text"]:
+        avgdl_lit = F.lit(float(dl_row["s"] or 0) / cnt_row["n_text"])
+    else:  # degenerate empty/all-null corpus: keep avg()'s NULL semantics
+        avgdl_lit = F.lit(None).cast("double")
+
+    # postings restricted to the query vocabulary — reused for both the
+    # df aggregate and the scoring pass (both read the cached postings)
+    hit = postings.join(F.broadcast(qwords), "word")
 
     # document frequency over query words only: hit is unique per
     # (doc, word), so df is a plain count — a |query vocab|-row aggregate
@@ -143,26 +160,23 @@ def bm25_topk(
 
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
     )
     tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_lit)
     )
 
     # query set and per-word idf are metadata-scale BY CONTRACT (the same
     # assumption that lets the relational form broadcast them); collect
     # both and dispatch on the actual sizes
     qterm_rows = qterms.collect()
-    idf_rows = (
-        dfreq.crossJoin(F.broadcast(stats)).select("word", idf.alias("_idf"))
-        .collect()
-    )
+    idf_rows = dfreq.select("word", idf.alias("_idf")).collect()
     vocab = sorted({r["word"] for r in idf_rows})
     if len(vocab) <= 4096 and len({r[0] for r in qterm_rows}) <= 65536:
         scored = _bm25_scored_dense(
-            hit, stats, tfn, qterm_rows, idf_rows, vocab, k,
+            hit, tfn, qterm_rows, idf_rows, vocab, k,
             id_col=id_col, query_id_col=query_id_col,
             qid_type=qterms.schema[query_id_col].dataType.simpleString(),
             id_partitioned=_id_partitioned,
@@ -170,7 +184,6 @@ def bm25_topk(
     else:
         scored = (
             hit.join(F.broadcast(dfreq), "word")
-            .crossJoin(F.broadcast(stats))
             .withColumn("_contrib", idf * tfn)
             .join(F.broadcast(qterms), "word")
             .groupBy(query_id_col, id_col)
@@ -182,13 +195,12 @@ def bm25_topk(
     if not eager:
         return out
     out = out.localCheckpoint(eager=True)
-    hit.unpersist()
+    postings.unpersist()
     return out
 
 
 def _bm25_scored_dense(
     hit: DataFrame,
-    stats: DataFrame,
     tfn,
     qterm_rows,
     idf_rows,
@@ -231,9 +243,9 @@ def _bm25_scored_dense(
             S[qrow[r[0]], widx[w]] = idf_by_word[w]
     qids_np = np.asarray(qids)
 
-    tfn_rel = hit.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), F.col("word"), tfn.alias("_tfn")
-    )
+    # tfn references only tf/dl and literal constants — a pure projection
+    # of the (cached) hit relation, no stats cross join
+    tfn_rel = hit.select(F.col(id_col), F.col("word"), tfn.alias("_tfn"))
 
     def score_part(batches):
         import pandas as pd

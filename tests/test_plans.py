@@ -157,9 +157,14 @@ def test_bm25_query_side_broadcasts(spark, sf_dir):
     # collapses the inspectable plan to a Scan ExistingRDD
     df = bm25_topk(docs, queries, k=5, eager=False)
     plan = explain_str(df, mode="simple")
-    assert plan.count("BroadcastExchange") + plan.count(
-        "BroadcastNestedLoopJoin"
-    ) >= 3, plan
+    # query words arrive by broadcast into the postings join; per-word
+    # df and the corpus constants (n_docs, avgdl) are collected/LITERAL
+    # since r6 (the stats relation, its BroadcastNestedLoopJoin, and two
+    # redundant corpus tokenize passes are gone — OPTIMIZATION_r06.md),
+    # so the postings relation itself never shuffles for the query batch
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     lines = plan.splitlines()
     hits = [
         j for j, ln in enumerate(lines)
