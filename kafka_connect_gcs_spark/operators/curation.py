@@ -348,7 +348,11 @@ def bigram_logprob(
         ).alias("bigram"),
     )
     pairs = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("k"))
-    counts = pairs.groupBy("bigram").agg(F.sum("k").alias("c"))
+    # counts aggregates the explode DIRECTLY (map-side combined by
+    # bigram): routing it through `pairs` re-evaluated the corpus explode
+    # a third time in the scored branch — the plan now explodes twice
+    # (counts pass + pairs pass), not three times, with identical rows
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("c"))
     prefix = counts.groupBy(
         F.substring_index("bigram", " ", 1).alias("_w1")
     ).agg(F.sum("c").alias("cp"))

@@ -214,15 +214,16 @@ def dsir_select(
     featurizing the raw corpus ONCE.
 
     Row-identical to ``dsir_fit`` + ``dsir_weights`` + ``dsir_resample``
-    (same expressions over the same gram relation), but the raw corpus's
-    hashed-gram explode — the dominant map cost, paid twice by the
-    separate calls (once for the raw counts, once for the per-doc
-    weights) — is persisted and shared between the two consumers. The
-    bounded top-k result is materialized eagerly so the gram cache is
-    released before returning.
+    (same expressions over the same gram relation), composed so the whole
+    selection is ONE eager job. The gram relation is deliberately NOT
+    cached: persisting the exploded (id, bucket) rows costs more than
+    recomputing the explode for its second consumer (measured at sf1.0
+    warm: 4.1 s with the persist vs 2.1 s recomputing — cache
+    serialization of the explode's output volume dominates; the same
+    lesson as the verify-skill note about caching wide rows), so the
+    bucket-count pass and the per-doc scoring pass each evaluate the
+    explode once and nothing is retained afterwards.
     """
-    from pyspark import StorageLevel
-
     a = float(smoothing)
     b_sp = float(n_buckets)
     grams = (
@@ -239,7 +240,6 @@ def dsir_select(
                 )
             ).alias("bucket"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     t = _gram_counts(target, text_col, n_buckets, use_bigrams, portable)
     r = grams.groupBy("bucket").agg(F.count("*").cast("double").alias("c"))
@@ -293,11 +293,9 @@ def dsir_select(
             F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("log_w"),
         )
     )
-    out = dsir_resample(
+    return dsir_resample(
         w, k, seed=seed, temperature=temperature, id_col=id_col
     ).localCheckpoint(eager=True)
-    grams.unpersist()
-    return out
 
 
 def gumbel_noise(id_col, seed: int = 0):
