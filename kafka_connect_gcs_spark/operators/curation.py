@@ -287,12 +287,14 @@ def unigram_logprob(
     floor for a statistic every word participates in. The corpus total is
     a 1-row broadcast, not a driver constant baked into the plan.
     """
-    pairs = (
-        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count("*").alias("k"))
+    exploded = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
     )
-    vocab = pairs.groupBy("word").agg(F.sum("k").alias("c"))
+    pairs = exploded.groupBy(id_col, "word").agg(F.count("*").alias("k"))
+    # vocab aggregates the explode DIRECTLY (map-side combined by word):
+    # routing it through `pairs` re-evaluated the corpus explode a third
+    # time in the scoring branch (same fix as bigram_logprob)
+    vocab = exploded.groupBy("word").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("tot"))
     scored = (
         pairs.join(vocab, "word")

@@ -579,7 +579,12 @@ def minhash_lsh_pairs(
         )
 
     # verify with |A∩B| computed once and |A∪B| from precomputed sizes —
-    # array_union would materialize the union array just to count it
+    # array_union would materialize the union array just to count it.
+    # (Tried and REJECTED this round: persisting only (id, sig) and
+    # recomputing shingles for candidate docs via a semi-join — the
+    # recompute pass + extra exchange measured ~2.5 s vs ~4.4 s WORSE
+    # warm at sf1.0 prod than reading the cached arrays; the wide-array
+    # cache is the cheaper side of this trade here, unlike dsir's.)
     shs = base.select(F.col(id_col), F.col("sh"), F.size("sh").alias("sz"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
@@ -942,16 +947,30 @@ def simhash_pairs(
     ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     a = exploded.select("blk", "key", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = exploded.select("blk", "key", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    # Hamming filter BEFORE dropDuplicates: the distance is a deterministic
-    # function of the pair, so filtering first is equivalent — and the dedup
-    # exchange then shuffles only surviving pairs instead of every bucket
-    # collision (on dense corpora that is most of the join output).
+    # A pair with d ≤ max_hamming can collide in up to `blocks` blocks; an
+    # earlier revision emitted every collision and removed the copies with
+    # dropDuplicates — a full exchange of the CANDIDATE set (26M rows on
+    # the dense sf1.0 bench, 3.8 s of its 5 s). Each pair is now kept only
+    # at its FIRST matching block — a pure expression on sh_a^sh_b (block
+    # j matches iff its xor chunk is 0), so exactly one copy survives BY
+    # CONSTRUCTION and the dedup exchange disappears. Same pair set: every
+    # qualifying pair has ≥1 matching block, and `blk` ranges over all of
+    # them in the join.
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    first_blk = F.lit(blocks - 1)
+    for i in range(blocks - 2, -1, -1):
+        chunk_i = F.shiftright(xor, i * chunk).bitwiseAND(F.lit((1 << chunk) - 1))
+        first_blk = F.when(chunk_i == 0, F.lit(i)).otherwise(first_blk)
     out = (
         a.join(b, ["blk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.bit_count(xor) <= max_hamming)
+        .where(F.col("blk") == first_blk)
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
     )
     if not eager:
         return out
