@@ -301,19 +301,7 @@ def merge_into(
         return {"batch_id": batch_id, "skipped": True}
 
     t0 = time.time()
-    # --- per-partition lineage over the raw (pre-dedup) batch --------------
     has_part = "part" in changes.columns
-    if lineage_rows is None:
-        lineage_rows = (
-            changes.groupBy("part" if has_part else F.lit(0).alias("part"))
-            .agg(
-                F.min("offset").alias("min_offset"),
-                F.max("offset").alias("max_offset"),
-                F.count(F.lit(1)).alias("events"),
-            )
-            .collect()
-        )
-    events_in = sum(r.events for r in lineage_rows)
 
     # PERF MODEL (measured on local[32], 275k-event batches):
     #  * Spark's columnar .persist() of token-array rows costs ~3× more than
@@ -363,15 +351,131 @@ def merge_into(
     schema = table.schema()
     mode = getattr(cfg, "merge_mode", "cow")
 
-    # Metadata inputs (affected files, range-bound sample, changed-key
-    # count) are either precomputed by the caller — the pipeline folds ALL
-    # of them plus lineage into ONE tagged-union job per batch — or derived
-    # here with individual small jobs over a persisted narrow dedup.
+    # Metadata inputs (per-partition lineage, affected files, range-bound
+    # sample, changed-key count) are either precomputed by the caller —
+    # the pipeline folds ALL of them into ONE tagged-union job per batch —
+    # or, when ≥2 are missing, folded HERE into the same tagged-union
+    # collect (AQE off: every branch is a tiny fixed-shape aggregate and
+    # AQE turns each exchange into its own dispatch wave — the standalone
+    # merge path used to pay 3-4 sequential metadata jobs per commit).
+    # A single missing input keeps its dedicated small job.
     sk_dedup = None
+    need_lineage = lineage_rows is None
     need_prune = affected_paths is None
     need_sample = bounds_hint is None and key_sample is None
     need_count = mode == "auto" and changed_keys is None
-    if need_prune or need_sample or need_count:
+    ranged_manifests = [m for m in snap.manifests if m.min_doc_id is not None]
+    no_stats_paths = [m.path for m in snap.manifests if m.min_doc_id is None]
+    n_missing = sum(
+        (need_lineage, need_prune and bool(ranged_manifests), need_sample,
+         need_count and bool(snap.manifests))
+    )
+    if n_missing >= 2:
+        nulls = [
+            F.lit(None).cast("long").alias(c) for c in ("n1", "n2", "n3")
+        ]
+        out_cols = ["tag", "s", "n1", "n2", "n3"]
+        branches = []
+        if need_lineage:
+            branches.append(
+                changes.groupBy(
+                    F.col("part") if has_part else F.lit(0).alias("part")
+                )
+                .agg(
+                    F.min("offset").alias("n1"),
+                    F.max("offset").alias("n2"),
+                    F.count(F.lit(1)).alias("n3"),
+                )
+                .select(
+                    F.lit("stat").alias("tag"),
+                    F.col("part").cast("string").alias("s"),
+                    "n1", "n2", "n3",
+                )
+                .select(*out_cols)
+            )
+        if need_prune and ranged_manifests:
+            ranges_df = spark.createDataFrame(
+                [(m.path, m.min_doc_id, m.max_doc_id) for m in ranged_manifests],
+                "path string, lo string, hi string",
+            )
+            branches.append(
+                skinny.select("doc_id")
+                .join(
+                    F.broadcast(ranges_df),
+                    (F.col("doc_id") >= F.col("lo"))
+                    & (F.col("doc_id") <= F.col("hi")),
+                )
+                .select("path")
+                .distinct()
+                .select(F.lit("path").alias("tag"), F.col("path").alias("s"), *nulls)
+                .select(*out_cols)
+            )
+        if need_sample:
+            branches.append(
+                skinny.select("doc_id")
+                .orderBy(F.xxhash64(F.col("doc_id")))
+                .limit(cfg.shuffle_partitions * 64)
+                .select(
+                    F.lit("bound").alias("tag"), F.col("doc_id").alias("s"), *nulls
+                )
+                .select(*out_cols)
+            )
+        if need_count and snap.manifests:
+            branches.append(
+                skinny.agg(F.count_distinct(F.col("doc_id")).alias("n1"))
+                .select(
+                    F.lit("cnt").alias("tag"),
+                    F.lit(None).cast("string").alias("s"),
+                    F.col("n1"),
+                    *nulls[1:],
+                )
+                .select(*out_cols)
+            )
+        meta_df = branches[0]
+        for br in branches[1:]:
+            meta_df = meta_df.unionByName(br)
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            meta_rows = meta_df.collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if need_lineage:
+            from collections import namedtuple
+
+            StatsRow = namedtuple("StatsRow", "part min_offset max_offset events")
+            lineage_rows = [
+                StatsRow(r.s, r.n1, r.n2, r.n3)
+                for r in meta_rows
+                if r.tag == "stat"
+            ]
+        if need_prune and ranged_manifests:
+            affected_paths = no_stats_paths + [
+                r.s for r in meta_rows if r.tag == "path"
+            ]
+        if need_sample:
+            key_sample = [r.s for r in meta_rows if r.tag == "bound"] or None
+        if need_count and snap.manifests:
+            changed_keys = next(
+                (r.n1 for r in meta_rows if r.tag == "cnt"), None
+            )
+    elif need_lineage:
+        lineage_rows = (
+            changes.groupBy("part" if has_part else F.lit(0).alias("part"))
+            .agg(
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+                F.count(F.lit(1)).alias("events"),
+            )
+            .collect()
+        )
+    events_in = sum(r.events for r in lineage_rows)
+    # leftover single inputs (fused path skipped, or degenerate shapes like
+    # an empty batch whose sample came back empty): the original
+    # per-input jobs over a persisted narrow dedup
+    if (affected_paths is None
+            or (need_sample and key_sample is None)
+            or (need_count and changed_keys is None and snap.manifests)):
         sk_dedup = build_sk_dedup().persist(StorageLevel.MEMORY_AND_DISK)
 
     if affected_paths is not None:
@@ -424,7 +528,11 @@ def merge_into(
     if bounds is None and key_sample is not None:
         bounds = bounds_from_sample_list(list(key_sample), nb)
     if bounds is None:
-        bounds = range_bounds_from_sample(sk_dedup, "doc_id", nb)
+        bounds = range_bounds_from_sample(
+            sk_dedup if sk_dedup is not None else build_sk_dedup(),
+            "doc_id",
+            nb,
+        )
     if sk_dedup is not None:
         sk_dedup.unpersist()
 

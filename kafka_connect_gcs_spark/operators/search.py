@@ -121,32 +121,42 @@ def bm25_topk(
     )
     qwords = qterms.select("word").distinct()
 
-    # corpus constants derived from ONE tokenize pass. The r6-before
-    # shape re-tokenized the corpus THREE times — the postings build,
-    # a `docs.agg(count, avg(size(words)))` stats relation collected for
-    # idf, and that same stats relation cross-joined AGAIN under the
-    # scorer (measured 3 × ~2 s of the 6.5 s warm query at sf1.0). Now
-    # the postings are cached once; avgdl comes out of them exactly
-    # (Σ per-doc dl is an exact integer sum, docs with zero words
-    # contribute 0 exactly as they did to avg(size); the denominator is
-    # the count of non-null texts, a scan that never tokenizes), and
-    # idf/tfn take the constants as LITERALS — bit-identical doubles,
-    # one corpus pass.
+    # Driver-side inputs come from THREE independent jobs overlapped in a
+    # small thread pool (guide §2.6) instead of four sequential rounds:
+    #  * corpus stats — doc count, non-null-text count, Σ word counts —
+    #    in ONE light docs pass (tokenize+size only; `sum(size(words))`
+    #    is the same exact integer as the former Σ max(dl) over postings:
+    #    dl IS size(words) per doc, zero-word docs contribute 0 to both,
+    #    null text yields a null size that sum skips — so the avgdl
+    #    double is bit-identical);
+    #  * the query-term collect;
+    #  * the postings cache materialization (eager mode), so the dfreq
+    #    pass below reads memory instead of re-tokenizing.
+    # idf/tfn then take the constants as LITERALS — idf stays a JVM
+    # log() over the collected df counts, bit-identical to before.
     if eager:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    dl_row = (
-        postings.groupBy(id_col)
-        .agg(F.max("dl").alias("_dl"))
-        .agg(F.sum("_dl").alias("s"))
-        .collect()[0]
-    )
-    cnt_row = docs.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.count(text_col).alias("n_text"),
-    ).collect()[0]
+
+    def _stats_job():
+        return docs.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(text_col).alias("n_text"),
+            F.sum(F.size(words(F.col(text_col)))).alias("s"),
+        ).collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(_stats_job)
+        f_qterms = pool.submit(qterms.collect)
+        f_mat = pool.submit(postings.count) if eager else None
+        cnt_row = f_stats.result()
+        qterm_rows = f_qterms.result()
+        if f_mat is not None:
+            f_mat.result()
     n_docs = float(cnt_row["n_all"])
     if cnt_row["n_text"]:
-        avgdl_lit = F.lit(float(dl_row["s"] or 0) / cnt_row["n_text"])
+        avgdl_lit = F.lit(float(cnt_row["s"] or 0) / cnt_row["n_text"])
     else:  # degenerate empty/all-null corpus: keep avg()'s NULL semantics
         avgdl_lit = F.lit(None).cast("double")
 
@@ -170,8 +180,8 @@ def bm25_topk(
 
     # query set and per-word idf are metadata-scale BY CONTRACT (the same
     # assumption that lets the relational form broadcast them); collect
-    # both and dispatch on the actual sizes
-    qterm_rows = qterms.collect()
+    # both and dispatch on the actual sizes (qterm_rows came from the
+    # thread pool above)
     idf_rows = dfreq.select("word", idf.alias("_idf")).collect()
     vocab = sorted({r["word"] for r in idf_rows})
     if len(vocab) <= 4096 and len({r[0] for r in qterm_rows}) <= 65536:
