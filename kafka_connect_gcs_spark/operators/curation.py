@@ -280,29 +280,29 @@ def unigram_logprob(
     ``sum_w k_w·ln(c_w/total) / n_words``. Low scores mark gibberish /
     off-distribution docs.
 
-    Plan shape for 100 TB: docs collapse to DISTINCT ``(doc, word, k)``
-    pairs map-side first (duplicates never shuffle), the vocabulary agg
-    is map-side combined so its exchange carries ≈|vocab per partition|,
-    and the scoring join + per-doc sum shuffle the distinct pairs — the
-    floor for a statistic every word participates in. The corpus total is
-    a 1-row broadcast, not a driver constant baked into the plan.
+    Plan shape for 100 TB: each pass explodes word OCCURRENCES and scores
+    them directly — no (doc, word) pair aggregation: the per-occurrence
+    ``ln(c/tot)`` sums to the same total as ``k·ln(c/tot)`` over distinct
+    pairs (the 6-dp round absorbs ulp-level summation-order differences,
+    which a double sum over a shuffle already has). The vocabulary agg is
+    map-side combined so its exchange carries ≈|vocab per partition|; the
+    per-doc sum is the only data-sized exchange. The corpus total is a
+    1-row broadcast, not a driver constant baked into the plan; the
+    vocabulary join stays shuffled by contract (vocab grows with the
+    corpus — AQE broadcasts it at runtime when it is actually small).
     """
     exploded = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
     )
-    pairs = exploded.groupBy(id_col, "word").agg(F.count("*").alias("k"))
-    # vocab aggregates the explode DIRECTLY (map-side combined by word):
-    # routing it through `pairs` re-evaluated the corpus explode a third
-    # time in the scoring branch (same fix as bigram_logprob)
     vocab = exploded.groupBy("word").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("tot"))
     scored = (
-        pairs.join(vocab, "word")
+        exploded.join(vocab, "word")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.sum("k").alias("n_words"),
-            F.sum(F.col("k") * F.log(F.col("c") / F.col("tot"))).alias("_lp"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.log(F.col("c") / F.col("tot"))).alias("_lp"),
         )
     )
     return scored.select(
@@ -326,46 +326,47 @@ def bigram_logprob(
     even when their vocabulary is ordinary — exactly what the unigram
     model cannot see. Docs with < 2 words drop out (no bigrams).
 
-    Plan shape for 100 TB: one corpus scan stages the word array, bigrams
-    collapse to DISTINCT ``(doc, bigram, k)`` pairs map-side before any
-    exchange; the bigram-count agg is map-side combined (exchange carries
-    ≈|distinct bigrams per partition|); prefix counts ``c(w ·)`` reduce
-    the bigram table again by first word. The scoring join + per-doc sum
-    shuffle the distinct pairs — the floor for an every-position
-    statistic. No broadcast of the LM: bigram vocabulary grows with the
-    corpus, so the join is a plain shuffled hash join on the bigram key.
+    Plan shape for 100 TB: one corpus scan stages the word array and each
+    pass explodes bigram OCCURRENCES keyed as ``struct(w1, w2)`` — no
+    string concatenation and no (doc, bigram) pair aggregation: scoring
+    sums ``ln P`` per occurrence directly, which is the same total as the
+    former ``k·ln P`` over distinct pairs (words contain no whitespace,
+    so the struct key groups exactly like the old concatenated string;
+    the 6-dp round absorbs ulp-level summation-order differences, which
+    a double sum over a shuffle already has). The bigram-count agg is
+    map-side combined (exchange carries ≈|distinct bigrams per
+    partition|); prefix counts ``c(w ·)`` reduce the bigram table again
+    by first word; the per-doc sum is the only data-sized exchange. No
+    broadcast of the LM: bigram vocabulary grows with the corpus, so the
+    join is a plain shuffled join on the bigram key (AQE converts it to
+    a broadcast at runtime when the fitted LM is actually small).
     """
     ws = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
     bigrams = ws.select(
         F.col(id_col),
         F.explode(
             # zip two EQUAL-LENGTH slices: zipping the full array against
-            # its tail pads the short side with NULL, and concat_ws skips
-            # nulls — the last word would leak through as a fake unigram
+            # its tail pads the short side with NULL and a null second
+            # word would leak the last word through as a fake bigram
             F.zip_with(
                 F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
                 F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bigram"),
     )
-    pairs = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("k"))
-    # counts aggregates the explode DIRECTLY (map-side combined by
-    # bigram): routing it through `pairs` re-evaluated the corpus explode
-    # a third time in the scored branch — the plan now explodes twice
-    # (counts pass + pairs pass), not three times, with identical rows
     counts = bigrams.groupBy("bigram").agg(F.count("*").alias("c"))
-    prefix = counts.groupBy(
-        F.substring_index("bigram", " ", 1).alias("_w1")
-    ).agg(F.sum("c").alias("cp"))
+    prefix = counts.groupBy(F.col("bigram.w1").alias("_w1")).agg(
+        F.sum("c").alias("cp")
+    )
     scored = (
-        pairs.join(counts, "bigram")
-        .withColumn("_w1", F.substring_index("bigram", " ", 1))
+        bigrams.join(counts, "bigram")
+        .withColumn("_w1", F.col("bigram.w1"))
         .join(prefix, "_w1")
         .groupBy(id_col)
         .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.sum(F.col("k") * F.log(F.col("c") / F.col("cp"))).alias("_lp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.log(F.col("c") / F.col("cp"))).alias("_lp"),
         )
     )
     return scored.select(

@@ -929,7 +929,14 @@ def neardup_pairs_cosine(
         vec_col="_v",
         out_col="bkt",
     )
-    pairs = bucketed.groupBy("bkt").applyInPandas(
+    # pin the bucket shuffle at full parallelism: the vectors are only a
+    # few MB so AQE coalesces the groupBy exchange to 2-3 partitions, but
+    # the stage's cost is per-bucket PAIR work (quadratic in bucket size),
+    # not bytes — measured 1.7 s on 3 tasks vs spread across the cores.
+    # An explicit keyed repartition is reused by the groupBy (guide §2.4),
+    # so this is still exactly one exchange.
+    P = bucketed.sparkSession.sparkContext.defaultParallelism
+    pairs = bucketed.repartition(P, "bkt").groupBy("bkt").applyInPandas(
         bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
