@@ -172,33 +172,52 @@ def dup_span_stats(
     dup_side = _dup_hash_keys(gp, id_col, min_doc_freq)
     marked = gp.join(dup_side, "h").select(id_col, "pos")
 
-    w = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
-        marked.withColumn("_prev", F.lag("pos").over(w))
-        .withColumn(
-            "_new_span",
-            F.when(
-                F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + (k - 1) + 1),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "_span_id",
-            F.sum("_new_span").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy(id_col, "_span_id")
-        .agg(
-            F.count("*").alias("_grams"),
-            (F.max("pos") - F.min("pos") + k).alias("_covered"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("_grams").alias("n_dup_grams"),
-            F.count("*").alias("n_spans"),
-            F.sum("_covered").alias("dup_words"),
-        )
+    # Span stats from ONE per-doc sorted position array instead of the
+    # former lag/running-sum window + two chained groupBys: the exchange
+    # (every marked (id, pos) to its doc) is identical, but the window's
+    # per-partition sort machinery and the two downstream aggregation
+    # stages collapse into integer array expressions. Equivalence to the
+    # window form (span boundary where a[i] > a[i-1] + k) is exact
+    # integer arithmetic:
+    #   n_spans   = 1 + |{i ≥ 1 : a[i] > a[i-1] + k}|
+    #   dup_words = Σ_span (last − first + k)
+    #             = k·n_spans + (a[n-1] − a[0]) − Σ_boundary (a[i] − a[i-1])
+    arr = marked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    a = F.col("_ps")
+    n = F.size(a)
+    tail = F.slice(a, 2, F.greatest(n - 1, F.lit(0)))
+    head = F.slice(a, 1, F.greatest(n - 1, F.lit(0)))
+    boundary_gap = F.aggregate(
+        F.zip_with(
+            tail,
+            head,
+            lambda x, y: F.when(x > y + F.lit(k), x - y).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + g,
+    )
+    n_boundaries = F.aggregate(
+        F.zip_with(
+            tail,
+            head,
+            lambda x, y: (x > y + F.lit(k)).cast("int"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + g,
+    )
+    n_spans = (F.lit(1) + n_boundaries).cast("long")
+    spans = arr.select(
+        F.col(id_col),
+        n.cast("long").alias("n_dup_grams"),
+        n_spans.alias("n_spans"),
+        (
+            F.lit(k) * n_spans
+            + F.element_at(a, -1)
+            - F.element_at(a, 1)
+            - boundary_gap
+        ).cast("long").alias("dup_words"),
     )
     if eager:
         spans = spans.localCheckpoint(eager=True)

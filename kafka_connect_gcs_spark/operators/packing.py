@@ -49,6 +49,7 @@ def exclusive_prefix_sum(
     out_col: str = "start",
     num_partitions: "int | None" = None,
     tiebreak_col: "str | list[str] | None" = None,
+    lo_hi: "tuple | None" = None,
 ) -> DataFrame:
     """(…, out_col) where out_col = sum of ``n_col`` over all rows strictly
     before this one in ``order_col`` order — a distributed exclusive scan.
@@ -88,10 +89,17 @@ def exclusive_prefix_sum(
     """
     dtype = df.schema[order_col].dataType
     if dtype.simpleString() in ("tinyint", "smallint", "int", "bigint"):
-        lo_hi = df.agg(
-            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-        ).collect()[0]
-        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        # lo_hi: caller-supplied key span (e.g. observed on a pass the
+        # caller already pays, like pack_sequences' checkpoint job) —
+        # skips the min/max job here. A span COVERING the keys is enough:
+        # bounds only shape the equal-width bucketing, never the scan.
+        if lo_hi is None:
+            row = df.agg(
+                F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+        else:
+            lo, hi = lo_hi
         if lo is None:
             return df.withColumn(out_col, F.lit(0).cast("long"))
         span = int(hi) - int(lo) + 1
@@ -241,13 +249,27 @@ def pack_sequences(
     # expression TWICE (filter/project codegen does not share it) —
     # measured 2.4 s vs 0.5 s at sf1.0 for md5-derived tokens. Filtering
     # the materialized (id, n) longs afterwards is free and identical.
+    # the key span rides the checkpoint job as an Observation (over the
+    # UNFILTERED rows — a covering span is all the bucketing needs), so
+    # the prefix sum skips its min/max job
+    from pyspark.sql import Observation
+
+    obs = Observation()
     narrow = (
         base.select("_id", F.size("_toks").cast("long").alias("_n"))
+        .observe(obs, F.min("_id").alias("lo"), F.max("_id").alias("hi"))
         .localCheckpoint(eager=True)
         .where(F.col("_n") > 0)
     )
+    span = obs.get
+    lo_hi = None
+    if narrow.schema["_id"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        lo_hi = (span["lo"], span["hi"])
     starts = exclusive_prefix_sum(
         narrow, "_id", "_n", out_col="_s", num_partitions=num_partitions,
+        lo_hi=lo_hi,
     )
     # inner join implies the _n > 0 filter, so the token payload is
     # evaluated exactly once, on this side
