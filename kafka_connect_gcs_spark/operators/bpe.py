@@ -132,12 +132,68 @@ def _independent_prefix(rows, max_batch: int) -> "list[tuple[str, str]]":
     return batch
 
 
+def _merge_pair_local(syms: "list[str]", l: str, r: str) -> "list[str]":
+    """Pure-Python twin of :func:`merge_pair_expr`'s greedy fold: same
+    left-to-right, non-overlapping semantics (``[a,a,a]`` with ``(a,a)``
+    → ``[aa, a]``; a merged symbol can't re-merge because acc's last
+    becomes ``l+r != l``)."""
+    acc: "list[str]" = []
+    for x in syms:
+        if acc and acc[-1] == l and x == r:
+            acc[-1] = acc[-1] + x
+        else:
+            acc.append(x)
+    return acc
+
+
+def _train_rounds_local(
+    rows, num_merges: int, min_pair_count: int, merges_per_round: int
+) -> "list[dict]":
+    """Driver-side replay of the training loop over a collected word
+    table — chosen merges are IDENTICAL to the distributed rounds by
+    construction: same pair counts (integer sums over the same table),
+    same (count desc, left, right) order (Python code-point string
+    comparison == Spark's binary string order for valid Unicode), same
+    top-``3P`` snapshot slice, same :func:`_independent_prefix` walk,
+    same greedy fold. Exists because each distributed round is a
+    fixed-cost Spark job over a VOCABULARY-bounded table — pure dispatch
+    when the vocabulary is small (the size gate is a real count, the
+    connected-components pattern)."""
+    pieces = [(int(r["cnt"]), list(r["syms"])) for r in rows]
+    merges: "list[dict]" = []
+    while len(merges) < num_merges:
+        P = min(merges_per_round, num_merges - len(merges))
+        counts: dict = {}
+        for cnt, syms in pieces:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        top = sorted(
+            (
+                {"l": l, "r": r, "c": c}
+                for (l, r), c in counts.items()
+                if c >= min_pair_count
+            ),
+            key=lambda d: (-d["c"], d["l"], d["r"]),
+        )[: 3 * P]
+        if not top:
+            break
+        batch = _independent_prefix(top, P)
+        for l, r in batch:
+            merges.append({"rank": len(merges), "left": l, "right": r})
+            pieces = [
+                (cnt, _merge_pair_local(syms, l, r)) for cnt, syms in pieces
+            ]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
     min_pair_count: int = 2,
     merges_per_round: int = 1,
+    max_local_vocab: int = 262_144,
 ) -> "list[dict]":
     """Train up to ``num_merges`` BPE merges; returns the ordered list
     ``[{"rank", "left", "right"}]`` (a bounded driver artifact).
@@ -157,7 +213,28 @@ def bpe_train(
     """
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
-    words = _word_table(df, text_col).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    words = (
+        _word_table(df, text_col)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # size-gated driver training: the word table is VOCABULARY-bounded
+    # (distinct pieces), and every distributed round is a fixed-cost job
+    # over it — at small vocabularies the rounds are pure dispatch. The
+    # count rides the checkpoint job (Observation), the gate is the real
+    # number, and the local replay picks identical merges by construction
+    # (see _train_rounds_local). Large vocabularies keep the distributed
+    # rounds below.
+    if (obs.get["n"] or 0) <= max_local_vocab:
+        return _train_rounds_local(
+            words.select("cnt", "syms").collect(),
+            num_merges,
+            min_pair_count,
+            merges_per_round,
+        )
     merges: "list[dict]" = []
     # re-checkpoint the (bounded, vocabulary-sized) word table every few
     # ROUNDS, not every round: each eager checkpoint is a fixed job, and
