@@ -1127,7 +1127,11 @@ def q_bm25_search(spark, sf_dir):
         # with leading/doubled whitespace must yield the same 4 words
         F.concat_ws(" ", F.slice(words(F.col("text")), 1, 4)).alias("qtext"),
     )
-    out = bm25_topk(docs, queries, k=5)
+    # eager=False: one-shot analytics — skips the service default's
+    # postings cache materialization and output checkpoint (in-context
+    # A/B at the 10x scale: 8.47 s eager vs 8.17 s lazy, best-of-2);
+    # the lazy plan computes identical rows (oracle-gated)
+    out = bm25_topk(docs, queries, k=5, eager=False)
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
